@@ -1,0 +1,399 @@
+"""Adaptive multimodal fusion MLP — TPU-native rebuild.
+
+Re-implements the capability of the reference ``AdvancedFusionModel``
+(reference ``src/models/fusion_model.py:17-420``) as a Flax module designed
+for a single jitted graph:
+
+- exact reference dims: face 27, audio 31, text 783, hidden 1024, out 7,
+  dropout 0.3 (fusion_model.py:20-29)
+- per-modality LayerNorm → Linear proj → processor block
+  [LN, ReLU, Drop, Linear 1024→512, LN, ReLU, Drop] (fusion_model.py:44-82)
+- 3-modality head: concat 1536 → Linear→1024 → LN → ReLU → Drop →
+  Linear→512 → LN → ReLU → Drop → Linear→7 **raw logits, no softmax**
+  (fusion_model.py:85-95; consumers argmax directly — SURVEY §3.3)
+- 2-modality bridge ``fusion2``: Linear 1024→1024 feeding the tail of the
+  fusion head (fusion_model.py:98, :312-319). The reference only wired this
+  for face+audio; its face+text / audio+text paths crash on a shape error and
+  silently fall back (defect D5). Here all three 2-modality combos use the
+  bridge — repair by documented intent, 3-modality numerics untouched.
+- learnable scalar modality weights (audio 0.3, text 0.3, face 0.4) reported
+  via softmax in :func:`get_weights` but NOT multiplied into the forward pass,
+  exactly like the reference (fusion_model.py:101-103, :192-203, SURVEY §3.3)
+- Xavier-uniform kernels, zero biases (fusion_model.py:114-120); LayerNorm
+  eps 1e-5 with exact (non-fast) variance for torch numerics parity.
+
+Dropout note: the reference never calls ``.eval()`` yet runs inference under
+``no_grad`` (streaming_processor.py:302-304); stochastic dropout at inference
+would make the published 1e-3 parity target unmeasurable, so inference here is
+deterministic (dropout off) and training passes ``deterministic=False``.
+
+Batched availability dispatch: the reference dispatches on ``None`` arguments
+in Python (fusion_model.py:139-178). For fixed-shape batched graphs we also
+provide :meth:`fuse_combo`, which selects among the 2/3-modality branches via
+``lax.switch`` on a per-segment combo index so one compiled graph covers all
+modality subsets without retracing.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import flax.serialization
+import jax
+import jax.numpy as jnp
+
+from msa_tpu.ops.normalization import (
+    AUDIO_TARGET_DIM,
+    FACE_TARGET_DIM,
+    LN_EPS,
+    TEXT_TARGET_DIM,
+)
+
+logger = logging.getLogger(__name__)
+
+# combo index = face*4 + audio*2 + text (bit per available modality)
+COMBO_TEXT = 0b001
+COMBO_AUDIO = 0b010
+COMBO_FACE = 0b100
+
+
+def _ln(dim: int, name: str) -> nn.LayerNorm:
+    return nn.LayerNorm(epsilon=LN_EPS, use_fast_variance=False, name=name)
+
+
+def _dense(features: int, name: str) -> nn.Dense:
+    # Precision.HIGHEST: these matmuls are tiny (≤1536×1024) and carry the
+    # 1e-3 parity contract, so full-f32 MXU passes are the right trade.
+    return nn.Dense(
+        features,
+        kernel_init=nn.initializers.xavier_uniform(),
+        bias_init=nn.initializers.zeros_init(),
+        precision=jax.lax.Precision.HIGHEST,
+        name=name,
+    )
+
+
+class FusionMLP(nn.Module):
+    face_dim: int = FACE_TARGET_DIM  # 27
+    audio_dim: int = AUDIO_TARGET_DIM  # 31
+    text_dim: int = TEXT_TARGET_DIM  # 783
+    hidden_dim: int = 1024
+    output_dim: int = 7
+    dropout: float = 0.3
+
+    def setup(self):
+        h, h2 = self.hidden_dim, self.hidden_dim // 2
+        # Per-modality input LayerNorms (fusion_model.py:44-46).
+        self.face_norm = _ln(self.face_dim, "face_norm")
+        self.audio_norm = _ln(self.audio_dim, "audio_norm")
+        self.text_norm = _ln(self.text_dim, "text_norm")
+        # Projections to hidden (fusion_model.py:49-51).
+        self.face_proj = _dense(h, "face_proj")
+        self.audio_proj = _dense(h, "audio_proj")
+        self.text_proj = _dense(h, "text_proj")
+        # Processor blocks (fusion_model.py:54-82).
+        self.face_proc_ln1 = _ln(h, "face_proc_ln1")
+        self.face_proc_fc = _dense(h2, "face_proc_fc")
+        self.face_proc_ln2 = _ln(h2, "face_proc_ln2")
+        self.audio_proc_ln1 = _ln(h, "audio_proc_ln1")
+        self.audio_proc_fc = _dense(h2, "audio_proc_fc")
+        self.audio_proc_ln2 = _ln(h2, "audio_proc_ln2")
+        self.text_proc_ln1 = _ln(h, "text_proc_ln1")
+        self.text_proc_fc = _dense(h2, "text_proc_fc")
+        self.text_proc_ln2 = _ln(h2, "text_proc_ln2")
+        # Fusion head (fusion_model.py:85-95).
+        self.fusion_fc1 = _dense(h, "fusion_fc1")  # 1536 → 1024
+        self.fusion_ln1 = _ln(h, "fusion_ln1")
+        self.fusion_fc2 = _dense(h2, "fusion_fc2")  # 1024 → 512
+        self.fusion_ln2 = _ln(h2, "fusion_ln2")
+        self.fusion_out = _dense(self.output_dim, "fusion_out")  # 512 → 7
+        # 2-modality bridge (fusion_model.py:98).
+        self.fusion2 = _dense(h, "fusion2")  # 1024 → 1024
+        # Learnable scalar modality weights (fusion_model.py:101-103).
+        self.audio_weight = self.param(
+            "audio_weight", lambda _: jnp.asarray(0.3, jnp.float32)
+        )
+        self.text_weight = self.param(
+            "text_weight", lambda _: jnp.asarray(0.3, jnp.float32)
+        )
+        self.face_weight = self.param(
+            "face_weight", lambda _: jnp.asarray(0.4, jnp.float32)
+        )
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    # --- building blocks -------------------------------------------------
+
+    def _processor(self, mod: str, x: jnp.ndarray, deterministic: bool):
+        ln1 = getattr(self, f"{mod}_proc_ln1")
+        fc = getattr(self, f"{mod}_proc_fc")
+        ln2 = getattr(self, f"{mod}_proc_ln2")
+        x = ln1(x)
+        x = nn.relu(x)
+        x = self.drop(x, deterministic=deterministic)
+        x = fc(x)
+        x = ln2(x)
+        x = nn.relu(x)
+        x = self.drop(x, deterministic=deterministic)
+        return x
+
+    def _branch(self, mod: str, x: jnp.ndarray, deterministic: bool):
+        """LayerNorm → proj → processor for one modality → [B, 512]."""
+        norm = getattr(self, f"{mod}_norm")
+        proj = getattr(self, f"{mod}_proj")
+        return self._processor(mod, proj(norm(x)), deterministic)
+
+    def _head_tail(self, x: jnp.ndarray, deterministic: bool):
+        """fusion head layers after the first Linear (fusion_model.py:87-94),
+        shared by the 3-modality path and the fusion2 bridge path
+        (fusion_model.py:318-319 applies fusion[1:] after fusion2)."""
+        x = self.fusion_ln1(x)
+        x = nn.relu(x)
+        x = self.drop(x, deterministic=deterministic)
+        x = self.fusion_fc2(x)
+        x = self.fusion_ln2(x)
+        x = nn.relu(x)
+        x = self.drop(x, deterministic=deterministic)
+        return self.fusion_out(x)
+
+    def _fuse3(self, face, audio, text, deterministic: bool):
+        f = self._branch("face", face, deterministic)
+        a = self._branch("audio", audio, deterministic)
+        t = self._branch("text", text, deterministic)
+        # concat order face/audio/text (fusion_model.py:405)
+        x = jnp.concatenate([f, a, t], axis=-1)  # [B, 1536]
+        return self._head_tail(self.fusion_fc1(x), deterministic)
+
+    def _fuse2(self, mod_a: str, xa, mod_b: str, xb, deterministic: bool):
+        pa = self._branch(mod_a, xa, deterministic)
+        pb = self._branch(mod_b, xb, deterministic)
+        x = jnp.concatenate([pa, pb], axis=-1)  # [B, 1024]
+        return self._head_tail(self.fusion2(x), deterministic)
+
+    # --- public entry points ---------------------------------------------
+
+    def __call__(
+        self,
+        face: Optional[jnp.ndarray] = None,
+        audio: Optional[jnp.ndarray] = None,
+        text: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Reference-shaped dispatch on available modalities
+        (fusion_model.py:131-190). Returns the same dict contract:
+        single modality → passthrough of the raw vector; two/three →
+        adds a ``fused`` 7-logit entry."""
+        avail = [m for m, x in (("face", face), ("audio", audio), ("text", text)) if x is not None]
+        if not avail:
+            raise ValueError("no modality available for fusion")
+        out: Dict[str, jnp.ndarray] = {}
+        if face is not None:
+            out["face"] = face
+        if audio is not None:
+            out["audio"] = audio
+        if text is not None:
+            out["text"] = text
+        if len(avail) == 1:
+            return out  # passthrough (fusion_model.py:155-162)
+        if len(avail) == 3:
+            out["fused"] = self._fuse3(face, audio, text, deterministic)
+        elif face is not None and audio is not None:
+            out["fused"] = self._fuse2("face", face, "audio", audio, deterministic)
+        elif face is not None and text is not None:
+            out["fused"] = self._fuse2("face", face, "text", text, deterministic)
+        else:
+            out["fused"] = self._fuse2("audio", audio, "text", text, deterministic)
+        return out
+
+    def fuse_combo(
+        self,
+        face: jnp.ndarray,
+        audio: jnp.ndarray,
+        text: jnp.ndarray,
+        combo: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Fixed-shape dispatch for batched graphs.
+
+        ``combo`` is a scalar int32: ``face*4 + audio*2 + text`` availability
+        bits. Returns a [..., 7] fused vector; combos with <2 modalities
+        return the (zero-padded) raw emotion slice of the single available
+        modality so the caller can implement the reference's passthrough/
+        fallback chain (streaming_processor.py:306-316) without retracing.
+        """
+
+        def b_fa3(_):
+            return self._fuse3(face, audio, text, deterministic)
+
+        def b_fa(_):
+            return self._fuse2("face", face, "audio", audio, deterministic)
+
+        def b_ft(_):
+            return self._fuse2("face", face, "text", text, deterministic)
+
+        def b_at(_):
+            return self._fuse2("audio", audio, "text", text, deterministic)
+
+        def b_face(_):
+            return face[..., : self.output_dim]
+
+        def b_audio(_):
+            return audio[..., : self.output_dim]
+
+        def b_text(_):
+            return text[..., : self.output_dim]
+
+        def b_none(_):
+            return jnp.zeros(face.shape[:-1] + (self.output_dim,), jnp.float32)
+
+        branches = [
+            b_none,  # 0b000
+            b_text,  # 0b001
+            b_audio,  # 0b010
+            b_at,  # 0b011
+            b_face,  # 0b100
+            b_ft,  # 0b101
+            b_fa,  # 0b110
+            b_fa3,  # 0b111
+        ]
+        return jax.lax.switch(combo, branches, None)
+
+    def init_all(self, face, audio, text):
+        """Initialization entry point that traces every branch so all params
+        (including the 2-modality ``fusion2`` bridge and the modality weight
+        scalars) are created."""
+        out3 = self._fuse3(face, audio, text, deterministic=True)
+        out2 = self._fuse2("face", face, "audio", audio, deterministic=True)
+        w = self.weights_dict()
+        return out3 + out2 + w["face"]
+
+    def weights_dict(self) -> Dict[str, jnp.ndarray]:
+        """Softmaxed modality weights, stack order audio/text/face exactly as
+        the reference's get_weights (fusion_model.py:192-203)."""
+        w = jax.nn.softmax(
+            jnp.stack([self.audio_weight, self.text_weight, self.face_weight])
+        )
+        return {"audio": w[0], "text": w[1], "face": w[2]}
+
+
+# Alias kept for API parity with the reference (fusion_model.py:420).
+FusionModel = FusionMLP
+
+
+# --- functional helpers ----------------------------------------------------
+
+
+def init_params(model: FusionMLP, seed: int = 0) -> Any:
+    dummy = (
+        jnp.zeros((1, model.face_dim), jnp.float32),
+        jnp.zeros((1, model.audio_dim), jnp.float32),
+        jnp.zeros((1, model.text_dim), jnp.float32),
+    )
+    return model.init(
+        jax.random.PRNGKey(seed), *dummy, method=FusionMLP.init_all
+    )["params"]
+
+
+def get_weights(model: FusionMLP, params: Any) -> Dict[str, float]:
+    """Host-side mirror of reference get_weights (fusion_model.py:192-203)."""
+    w = jax.nn.softmax(
+        jnp.stack(
+            [params["audio_weight"], params["text_weight"], params["face_weight"]]
+        )
+    )
+    return {"audio": float(w[0]), "text": float(w[1]), "face": float(w[2])}
+
+
+def compute_loss(
+    model: FusionMLP,
+    params: Any,
+    face: jnp.ndarray,
+    audio: jnp.ndarray,
+    text: jnp.ndarray,
+    target: jnp.ndarray,
+    dropout_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KL-divergence training loss — reference intent, repaired.
+
+    The reference's compute_loss (fusion_model.py:205-237) cannot execute as
+    written (defect D5: calls self(x) with one concatenated tensor and reads a
+    nonexistent ``self.weights``). The documented intent — KL between the
+    fused prediction and a pseudo-label — is implemented here: the fused
+    logits are softmaxed to probabilities and compared against ``target``
+    (the renormalized weighted average produced by AMI preprocessing,
+    preprocess_ami.py:93-100) with torch ``kl_div(..., 'batchmean')``
+    semantics: mean over batch of sum target·(log target − log pred).
+    """
+    deterministic = dropout_rng is None
+    rngs = {} if deterministic else {"dropout": dropout_rng}
+    out = model.apply(
+        {"params": params}, face, audio, text, deterministic=deterministic, rngs=rngs
+    )
+    pred = jax.nn.softmax(out["fused"], axis=-1)
+    log_pred = jnp.log(pred + 1e-8)
+    # torch F.kl_div(input=log_pred, target=t, 'batchmean'):
+    #   sum(t * (log t - log_pred)) / batch, with t·log t := 0 where t == 0.
+    t = target
+    tlogt = jnp.where(t > 0, t * jnp.log(jnp.where(t > 0, t, 1.0)), 0.0)
+    kl = jnp.sum(tlogt - t * log_pred, axis=-1)
+    return jnp.mean(kl), pred
+
+
+# --- checkpointing (reference fusion_model.py:239-294 semantics) ------------
+
+
+def save_checkpoint(path: str, model: FusionMLP, params: Any) -> None:
+    """Serialize params + the reference's metadata dict
+    ({weights, audio_dim, text_dim, face_dim, hidden_dim, output_dim,
+    dropout} — fusion_model.py:248-257) into one msgpack file."""
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    meta = {
+        "weights": get_weights(model, params),
+        "audio_dim": model.audio_dim,
+        "text_dim": model.text_dim,
+        "face_dim": model.face_dim,
+        "hidden_dim": model.hidden_dim,
+        "output_dim": model.output_dim,
+        "dropout": model.dropout,
+    }
+    payload = {
+        "meta_json": json.dumps(meta),
+        "params": flax.serialization.to_state_dict(params),
+    }
+    Path(path).write_bytes(flax.serialization.msgpack_serialize(payload))
+
+
+def load_checkpoint(
+    path: str, seed: int = 0, create_if_missing: bool = True
+) -> Tuple[FusionMLP, Any, Dict[str, float]]:
+    """Load a fusion checkpoint, rebuilding the model from the stored dims.
+
+    Mirrors the reference's create-if-missing semantics: when the checkpoint
+    does not exist, a fresh model is created, saved to ``path`` and returned
+    (fusion_model.py:286-294).
+    """
+    p = Path(path)
+    if not p.exists():
+        if not create_if_missing:
+            raise FileNotFoundError(path)
+        logger.warning("checkpoint not found at %s — creating a new model", path)
+        model = FusionMLP()
+        params = init_params(model, seed)
+        save_checkpoint(path, model, params)
+        return model, params, get_weights(model, params)
+    payload = flax.serialization.msgpack_restore(p.read_bytes())
+    meta = json.loads(payload["meta_json"])
+    model = FusionMLP(
+        face_dim=meta["face_dim"],
+        audio_dim=meta["audio_dim"],
+        text_dim=meta["text_dim"],
+        hidden_dim=meta["hidden_dim"],
+        output_dim=meta["output_dim"],
+        dropout=meta["dropout"],
+    )
+    template = init_params(model, seed)
+    params = flax.serialization.from_state_dict(template, payload["params"])
+    return model, params, meta["weights"]

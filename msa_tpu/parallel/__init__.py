@@ -1,0 +1,7 @@
+from msa_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    data_parallel_mesh,
+    make_mesh,
+    replicated,
+    shard_batch,
+)

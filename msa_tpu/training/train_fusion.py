@@ -1,0 +1,194 @@
+"""Fusion-model trainer — optax + data-parallel mesh.
+
+Rebuilds the reference trainer (reference
+``src/training/train_fusion_model.py:21-176``) with the same hyperparameters:
+AdamW lr 1e-4 / weight-decay 1e-5 (:159-163), batch 32 (:141), ≤100 epochs
+(:143), KL-divergence loss against the preprocessed pseudo-label (:94 →
+fusion compute_loss, repaired per defect D5), per-epoch validation
+(:109-122), early stopping patience 10 and best-val checkpointing
+(:127-136 → ``checkpoints/best_model``).
+
+TPU-first differences:
+- one jitted train step; batches shard over the mesh's ``data`` axis and XLA
+  inserts the gradient psums (the reference is single-device, SURVEY §2.10)
+- full-dimension feature vectors (face 27 / audio 31 / text 783) instead of
+  the reference's shape-broken 7-dim inputs (defect D5): the dataset JSON
+  schema is produced by :mod:`msa_tpu.training.preprocess_ami`.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from msa_tpu.models import fusion as fusion_lib
+from msa_tpu.parallel import mesh as mesh_lib
+
+logger = logging.getLogger(__name__)
+
+
+class AMIDataset:
+    """Loads preprocessed segment JSON (reference AMIDataset,
+    train_fusion_model.py:21-55): every ``*.json`` under ``data_dir/split``
+    holds a list of {face_vec, audio_vec, text_vec, target} records."""
+
+    def __init__(self, data_dir: str, split: str = "train"):
+        self.data_dir = data_dir
+        self.split = split
+        self.records: List[Dict] = []
+        split_dir = Path(data_dir) / split
+        for f in sorted(split_dir.glob("*.json")):
+            self.records.extend(json.loads(f.read_text()))
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def arrays(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        face = np.asarray([r["face_vec"] for r in self.records], np.float32)
+        audio = np.asarray([r["audio_vec"] for r in self.records], np.float32)
+        text = np.asarray([r["text_vec"] for r in self.records], np.float32)
+        target = np.asarray([r["target"] for r in self.records], np.float32)
+        return face, audio, text, target
+
+    def batches(
+        self, batch_size: int, shuffle: bool, seed: int = 0
+    ) -> Iterator[Tuple[np.ndarray, ...]]:
+        face, audio, text, target = self.arrays()
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for i in range(0, n - batch_size + 1, batch_size):
+            sel = order[i : i + batch_size]
+            yield face[sel], audio[sel], text[sel], target[sel]
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4, weight_decay: float = 1e-5
+) -> optax.GradientTransformation:
+    """AdamW with the reference hyperparameters
+    (train_fusion_model.py:159-163)."""
+    return optax.adamw(learning_rate, weight_decay=weight_decay)
+
+
+def make_train_step(model: fusion_lib.FusionMLP, optimizer):
+    """One jitted SGD step. Under a mesh, the batch arrives sharded over
+    ``data`` and XLA turns the mean-loss gradient into a psum across chips."""
+
+    def loss_fn(params, face, audio, text, target, rng):
+        loss, _ = fusion_lib.compute_loss(
+            model, params, face, audio, text, target, dropout_rng=rng
+        )
+        return loss
+
+    @jax.jit
+    def train_step(state_params, opt_state, face, audio, text, target, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state_params, face, audio, text, target, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, state_params)
+        params = optax.apply_updates(state_params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(model: fusion_lib.FusionMLP):
+    @jax.jit
+    def eval_step(params, face, audio, text, target):
+        loss, _ = fusion_lib.compute_loss(model, params, face, audio, text, target)
+        return loss
+
+    return eval_step
+
+
+def train(
+    data_dir: str = "data/ami",
+    checkpoint_dir: str = "checkpoints",
+    batch_size: int = 32,  # train_fusion_model.py:141
+    learning_rate: float = 1e-4,
+    weight_decay: float = 1e-5,
+    num_epochs: int = 100,  # train_fusion_model.py:143
+    patience: int = 10,  # train_fusion_model.py:127-136
+    seed: int = 0,
+    mesh=None,
+    model: Optional[fusion_lib.FusionMLP] = None,
+    params: Any = None,
+) -> Tuple[Any, Dict[str, List[float]]]:
+    """Full training loop with early stopping + best-val checkpointing."""
+    model = model or fusion_lib.FusionMLP()
+    params = params if params is not None else fusion_lib.init_params(model, seed)
+    optimizer = make_optimizer(learning_rate, weight_decay)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(model, optimizer)
+    eval_step = make_eval_step(model)
+    mesh = mesh or mesh_lib.data_parallel_mesh()
+
+    train_ds = AMIDataset(data_dir, "train")
+    val_ds = AMIDataset(data_dir, "val")
+    if len(train_ds) == 0:
+        raise ValueError(f"no training data under {data_dir}/train")
+
+    rng = jax.random.PRNGKey(seed)
+    best_val = float("inf")
+    patience_left = patience
+    history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
+    ckpt_path = os.path.join(checkpoint_dir, "best_model.msgpack")
+
+    with mesh:
+        for epoch in range(num_epochs):
+            losses = []
+            for face, audio, text, target in train_ds.batches(
+                batch_size, shuffle=True, seed=seed + epoch
+            ):
+                (face, audio, text, target), _ = mesh_lib.shard_batch(
+                    mesh, (face, audio, text, target)
+                )
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, loss = train_step(
+                    params, opt_state, face, audio, text, target, step_rng
+                )
+                losses.append(float(loss))
+            train_loss = float(np.mean(losses)) if losses else float("nan")
+
+            val_losses = []
+            for face, audio, text, target in val_ds.batches(batch_size, shuffle=False):
+                (face, audio, text, target), _ = mesh_lib.shard_batch(
+                    mesh, (face, audio, text, target)
+                )
+                val_losses.append(float(eval_step(params, face, audio, text, target)))
+            val_loss = float(np.mean(val_losses)) if val_losses else train_loss
+
+            history["train_loss"].append(train_loss)
+            history["val_loss"].append(val_loss)
+            logger.info(
+                "epoch %d: train=%.4f val=%.4f", epoch + 1, train_loss, val_loss
+            )
+
+            if val_loss < best_val:
+                best_val = val_loss
+                patience_left = patience
+                fusion_lib.save_checkpoint(ckpt_path, model, params)
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    logger.info("early stopping at epoch %d", epoch + 1)
+                    break
+
+    return params, history

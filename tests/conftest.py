@@ -1,0 +1,39 @@
+"""Test harness configuration.
+
+Tests run on a CPU-emulated 8-device mesh (SURVEY.md §4 item 4): multi-chip
+sharding paths are validated without TPU hardware via
+``--xla_force_host_platform_device_count``. These env vars must be set before
+jax is imported anywhere in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The image pins JAX_PLATFORMS=axon in the parent environment and the plugin
+# wins over the env var — the config update is the reliable override.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def np_layer_norm(x: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+    """Independent numpy golden of torch LayerNorm (no affine): biased
+    variance, eps inside sqrt."""
+    x = x.astype(np.float64)
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mean) / np.sqrt(var + eps)
