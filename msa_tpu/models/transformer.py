@@ -1,0 +1,145 @@
+"""Shared transformer encoder building blocks (Flax).
+
+One encoder implementation backs both the text trunk (BERT-style, replacing
+the reference's five HF BERT instances — reference
+``src/analyzers/text_analyzer.py:28-60``) and the audio emotion encoder
+(wav2vec2-style, replacing SpeechBrain — ``src/analyzers/audio_analyzer.py:
+33-39``).
+
+TPU-first choices:
+- matmuls run in a configurable ``compute_dtype`` (bfloat16 by default on
+  TPU) with float32 params and float32 LayerNorm/softmax — the standard
+  mixed-precision recipe for the MXU.
+- attention projection layers are named ``query/key/value/attn_out`` and the
+  MLP layers ``fc_in/fc_out`` so :func:`msa_tpu.parallel.mesh.encoder_param_spec`
+  can apply Megatron-style tensor-parallel PartitionSpecs by name.
+- static shapes everywhere; padding is handled by an additive attention mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    num_layers: int = 12
+    d_model: int = 768
+    num_heads: int = 12
+    d_ff: int = 3072
+    dropout: float = 0.1
+    layer_norm_eps: float = 1e-12  # BERT default
+    compute_dtype: str = "float32"
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    @classmethod
+    def tiny(cls) -> "EncoderConfig":
+        """Small config for tests — same code path, fast compile."""
+        return cls(num_layers=2, d_model=32, num_heads=2, d_ff=64)
+
+
+def _dt(cfg: EncoderConfig):
+    return jnp.dtype(cfg.compute_dtype)
+
+
+class SelfAttention(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, mask_bias, deterministic: bool = True):
+        cfg = self.cfg
+        dtype = _dt(cfg)
+        dense = lambda name: nn.Dense(  # noqa: E731
+            cfg.d_model, dtype=dtype, name=name
+        )
+        b, t, _ = x.shape
+        q = dense("query")(x).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = dense("key")(x).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        v = dense("value")(x).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        scale = 1.0 / np.sqrt(cfg.head_dim)
+        # [b, h, t, t] — softmax in f32 for stability
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        logits = logits + mask_bias  # [b, 1, 1, t] additive bias
+        probs = nn.softmax(logits, axis=-1).astype(dtype)
+        probs = nn.Dropout(cfg.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, cfg.d_model)
+        return dense("attn_out")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN transformer layer (BERT convention)."""
+
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, mask_bias, deterministic: bool = True):
+        cfg = self.cfg
+        dtype = _dt(cfg)
+        attn = SelfAttention(cfg, name="attention")(x, mask_bias, deterministic)
+        attn = nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attn_ln")(
+            (x + attn).astype(jnp.float32)
+        ).astype(dtype)
+        h = nn.Dense(cfg.d_ff, dtype=dtype, name="fc_in")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.d_model, dtype=dtype, name="fc_out")(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ffn_ln")(
+            (x + h).astype(jnp.float32)
+        ).astype(dtype)
+
+
+class TransformerEncoder(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, attention_mask=None, deterministic: bool = True):
+        """x: [b, t, d_model]; attention_mask: [b, t] with 1 = attend."""
+        if attention_mask is None:
+            mask_bias = jnp.zeros((x.shape[0], 1, 1, x.shape[1]), jnp.float32)
+        else:
+            mask_bias = jnp.where(
+                attention_mask[:, None, None, :] > 0, 0.0, -1e9
+            ).astype(jnp.float32)
+        for i in range(self.cfg.num_layers):
+            x = EncoderLayer(self.cfg, name=f"layer_{i}")(
+                x, mask_bias, deterministic
+            )
+        return x
+
+
+def mean_pool(x: jnp.ndarray, attention_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Masked mean over time: [b, t, d] → [b, d]."""
+    if attention_mask is None:
+        return jnp.mean(x, axis=1)
+    m = attention_mask[..., None].astype(x.dtype)
+    return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+
+
+class AttentiveStatsPool(nn.Module):
+    """Attentive statistics pooling (mean + std weighted by a learned
+    attention) — the pooling family SpeechBrain's emotion classifier uses.
+    [b, t, d] → [b, 2d]."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, x, attention_mask=None):
+        scores = nn.Dense(1, name="attn_score")(
+            nn.tanh(nn.Dense(self.hidden, name="attn_hidden")(x))
+        )  # [b, t, 1]
+        if attention_mask is not None:
+            scores = jnp.where(attention_mask[..., None] > 0, scores, -1e9)
+        w = nn.softmax(scores.astype(jnp.float32), axis=1).astype(x.dtype)
+        mean = jnp.sum(w * x, axis=1)
+        var = jnp.sum(w * jnp.square(x - mean[:, None, :]), axis=1)
+        std = jnp.sqrt(jnp.clip(var, 1e-6))
+        return jnp.concatenate([mean, std], axis=-1)

@@ -1,0 +1,86 @@
+"""Audio encoder + face model tests (tiny configs, CPU)."""
+
+import numpy as np
+import pytest
+
+from msa_tpu.models import audio as AM
+from msa_tpu.models import face as FM
+
+
+def test_audio_encoder_shapes_and_d7_contract(rng):
+    cfg = AM.AudioModelConfig.tiny()
+    model = AM.AudioEmotionModel(cfg)
+    params = AM.init_params(model, samples=4000)
+    wav = rng.normal(size=(2, 4000)).astype(np.float32)
+    out = model.apply({"params": params}, wav)
+    assert out["probs4"].shape == (2, 4)
+    assert out["emotion_probs"].shape == (2, 8)
+    p = np.asarray(out["emotion_probs"])
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
+    # D7: duplicated halves are equal (audio_analyzer.py:162-168)
+    np.testing.assert_allclose(p[:, :4], p[:, 4:], atol=1e-6)
+    np.testing.assert_allclose(p[:, :4] * 2, np.asarray(out["probs4"]), atol=1e-5)
+
+
+def test_audio_encoder_downsampling():
+    cfg = AM.AudioModelConfig.tiny()
+    assert cfg.downsample_factor() == 20
+    model = AM.AudioEmotionModel(cfg)
+    params = AM.init_params(model, samples=4000)
+    wav = np.zeros((1, 4000), np.float32)
+    out = model.apply({"params": params}, wav)
+    # VALID conv framing: floor behavior, > 0 frames
+    assert out["hidden"].shape[1] > 0
+    assert out["hidden"].shape[2] == cfg.encoder.d_model
+
+
+def test_landmark_net_outputs(rng):
+    cfg = FM.FaceModelConfig.tiny()
+    model = FM.FaceLandmarkNet(cfg)
+    params = FM.init_landmark_params(model)
+    frame = rng.random((2, cfg.frame_size, cfg.frame_size, 3)).astype(np.float32)
+    out = model.apply({"params": params}, frame)
+    lm = np.asarray(out["landmarks"])
+    assert lm.shape == (2, 478, 3)
+    assert (lm[..., :2] >= 0).all() and (lm[..., :2] <= 1).all()
+    assert (np.abs(lm[..., 2]) <= 0.1 + 1e-6).all()
+    pres = np.asarray(out["presence"])
+    assert pres.shape == (2,)
+    assert (pres >= 0).all() and (pres <= 1).all()
+
+
+def test_emotion_cnn_probs(rng):
+    cfg = FM.FaceModelConfig.tiny()
+    model = FM.FaceEmotionCNN(cfg)
+    params = FM.init_emotion_params(model)
+    crop = rng.random((3, cfg.crop_size, cfg.crop_size, 1)).astype(np.float32)
+    probs = np.asarray(model.apply({"params": params}, crop))
+    assert probs.shape == (3, 7)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+
+def test_bilinear_crop_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    img = rng.random((64, 80, 3)).astype(np.float32)
+    bbox = np.asarray([10.0, 8.0, 40.0, 32.0], np.float32)
+    got = np.asarray(FM.bilinear_crop_resize(img, bbox, 16))
+    crop = img[8 : 8 + 32, 10 : 10 + 40]
+    want = cv2.resize(crop, (16, 16), interpolation=cv2.INTER_LINEAR)
+    # identical sample-center convention as OpenCV bilinear
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_bilinear_crop_degenerate_bbox_uses_full_frame(rng):
+    img = rng.random((32, 32, 1)).astype(np.float32)
+    got = np.asarray(FM.bilinear_crop_resize(img, np.zeros(4, np.float32), 8))
+    want = np.asarray(
+        FM.bilinear_crop_resize(img, np.asarray([0, 0, 32, 32], np.float32), 8)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_rgb_to_gray():
+    rgb = np.zeros((2, 2, 3), np.float32)
+    rgb[..., 0] = 1.0
+    gray = np.asarray(FM.rgb_to_gray(rgb))
+    np.testing.assert_allclose(gray, 0.299, atol=1e-6)
