@@ -1,0 +1,160 @@
+"""Speaker diarization interface + built-in implementations.
+
+The reference hard-wires pyannote.audio's GPU pipeline (reference
+``src/processors/offline_processor.py:62-66``, ``:96-116``), which needs an
+HF token and network access. Here diarization is a pluggable host-side
+interface with two deterministic built-ins; a pyannote adapter can be
+registered when the dependency is available.
+
+Output contract is the reference's segment list
+(offline_processor.py:108-116): ``[{"start": s, "end": e, "speaker": id}]``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Protocol
+
+import numpy as np
+
+
+class Diarizer(Protocol):
+    def diarize(self, waveform: np.ndarray, sample_rate: int) -> List[Dict]:
+        """→ [{"start", "end", "speaker"}] sorted by start."""
+        ...
+
+
+class FixedWindowDiarizer:
+    """Single speaker, fixed windows of ``segment_duration`` seconds — the
+    deterministic fallback (SURVEY §2.9: 'at minimum a pluggable Diarizer
+    interface with a deterministic fixed-window fallback')."""
+
+    def __init__(self, segment_duration: float = 5.0, speaker: str = "SPEAKER_00"):
+        self.segment_duration = segment_duration
+        self.speaker = speaker
+
+    def diarize(self, waveform: np.ndarray, sample_rate: int) -> List[Dict]:
+        total = len(waveform) / sample_rate
+        out = []
+        t = 0.0
+        while t < total:
+            end = min(t + self.segment_duration, total)
+            if end - t > 1e-3:
+                out.append({"start": t, "end": end, "speaker": self.speaker})
+            t = end
+        return out
+
+
+class EnergyVADDiarizer:
+    """Energy-threshold voice activity detection with speech/pause hysteresis.
+
+    Honors the reference's processing knobs: min_speech_duration and
+    min_pause_duration (config.py:42-48) and caps segments at
+    ``segment_duration``. Single-speaker labeling (speaker separation proper
+    needs an embedding model — pluggable via the same interface)."""
+
+    def __init__(
+        self,
+        segment_duration: float = 5.0,
+        min_speech_duration: float = 0.5,
+        min_pause_duration: float = 0.5,
+        frame_ms: float = 30.0,
+        threshold_ratio: float = 0.5,
+        speaker: str = "SPEAKER_00",
+    ):
+        self.segment_duration = segment_duration
+        self.min_speech = min_speech_duration
+        self.min_pause = min_pause_duration
+        self.frame_ms = frame_ms
+        self.threshold_ratio = threshold_ratio
+        self.speaker = speaker
+
+    def diarize(self, waveform: np.ndarray, sample_rate: int) -> List[Dict]:
+        x = np.asarray(waveform, np.float32)
+        frame = max(1, int(sample_rate * self.frame_ms / 1000))
+        n = len(x) // frame
+        if n == 0:
+            return []
+        energies = (x[: n * frame].reshape(n, frame) ** 2).mean(axis=1)
+        # adaptive threshold between the noise floor and mean energy
+        floor = np.percentile(energies, 10)
+        spread = energies.mean() - floor
+        if spread <= 1e-9 * max(energies.mean(), 1.0):
+            # flat-energy signal (e.g. constant tone): no floor/speech
+            # contrast to threshold on — treat everything above a tiny
+            # absolute floor as speech
+            active = energies > 1e-8
+        else:
+            thresh = floor + self.threshold_ratio * spread
+            active = energies > thresh
+
+        # merge gaps shorter than min_pause, drop bursts shorter than min_speech
+        sec_per_frame = frame / sample_rate
+        spans: List[List[float]] = []
+        start = None
+        gap = 0.0
+        for i, a in enumerate(active):
+            t = i * sec_per_frame
+            if a:
+                if start is None:
+                    start = t
+                gap = 0.0
+            elif start is not None:
+                gap += sec_per_frame
+                if gap >= self.min_pause:
+                    spans.append([start, t - gap + sec_per_frame])
+                    start = None
+        if start is not None:
+            spans.append([start, n * sec_per_frame])
+        spans = [s for s in spans if s[1] - s[0] >= self.min_speech]
+
+        # split long spans to the fixed segment duration (static device shapes)
+        out: List[Dict] = []
+        for s, e in spans:
+            t = s
+            while t < e:
+                end = min(t + self.segment_duration, e)
+                out.append({"start": t, "end": end, "speaker": self.speaker})
+                t = end
+        return out
+
+
+def make_diarizer(name: str, processing_config) -> Diarizer:
+    """Factory keyed by DiarizationConfig.model."""
+    if name in ("fixed-window", "fixed"):
+        return FixedWindowDiarizer(processing_config.segment_duration)
+    if name in ("energy-vad", "vad"):
+        return EnergyVADDiarizer(
+            segment_duration=processing_config.segment_duration,
+            min_speech_duration=processing_config.min_speech_duration,
+            min_pause_duration=processing_config.min_pause_duration,
+        )
+    if name.startswith("pyannote"):
+        try:
+            from pyannote.audio import Pipeline  # type: ignore
+
+            class _PyannoteAdapter:
+                def __init__(self):
+                    self._pipe = Pipeline.from_pretrained(name)
+
+                def diarize(self, waveform, sample_rate):
+                    import torch
+
+                    d = self._pipe(
+                        {
+                            "waveform": torch.from_numpy(waveform[None]),
+                            "sample_rate": sample_rate,
+                        }
+                    )
+                    return [
+                        {"start": t.start, "end": t.end, "speaker": spk}
+                        for t, _, spk in d.itertracks(yield_label=True)
+                    ]
+
+            return _PyannoteAdapter()
+        except ImportError:
+            pass  # degrade to the deterministic fallback
+    return EnergyVADDiarizer(
+        segment_duration=processing_config.segment_duration,
+        min_speech_duration=processing_config.min_speech_duration,
+        min_pause_duration=processing_config.min_pause_duration,
+    )

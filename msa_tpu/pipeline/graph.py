@@ -1,0 +1,435 @@
+"""The end-to-end segment graph — ONE jitted XLA program per batch.
+
+This is the TPU-native replacement for the reference's per-segment Python
+orchestration (reference ``src/processors/offline_processor.py:171-233`` and
+``src/processors/streaming_processor.py:170-377``), which pays per segment:
+5 FaceMesh passes, 1 DeepFace CNN, 1 wav2vec2 forward, 2 MFCC transforms,
+5 BERT forwards and 1 fusion forward, each a separate host↔device round trip
+(SURVEY §6). Here a whole batch of segments executes as one compiled graph:
+
+    frames[B,S,S,3] ─ landmark net ─ geometry ops ─ crop ─ emotion CNN ┐
+    audio[B,80000] ── DSP stack ──── audio encoder ────────────────────┤→ 27/31/783
+    tokens[B,512] ─── BERT trunk ─── 4 heads + CLS + coherence ────────┘     │
+                                                             fusion MLP ← combo
+                                                                 │
+                       face27/audio31/text783 slices + fused7 logits out
+
+Feature assembly follows the canonical streaming path exactly
+(streaming_processor.py:230-300): per-modality raw concat → pad+LayerNorm
+normalizer → slice back → append raw quality/position scalars → nan_to_num →
+fusion. Missing modalities take the reference's *default analysis* vectors
+(face_analyzer.py:476-490, audio_analyzer.py:331-345, text_analyzer.py:
+305-319 — raw, NOT LayerNormed) and the fusion combo index drops them from
+the fused path, reproducing the 1/2/3-modality dispatch without retracing.
+
+Movement state: landmarks are computed for the whole batch, then shifted by
+one segment along the batch axis (equivalent to the reference's cross-segment
+frame history, face_analyzer.py:352-383) with an explicit carry for the
+first row, so streaming (B=1) and offline (B=n) share the graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msa_tpu.core.config import SystemConfig
+from msa_tpu.models.audio import AudioEmotionModel, AudioModelConfig
+from msa_tpu.models.face import (
+    FaceEmotionCNN,
+    FaceLandmarkNet,
+    FaceModelConfig,
+    bilinear_crop_resize,
+    rgb_to_gray,
+)
+from msa_tpu.models.fusion import FusionMLP
+from msa_tpu.models.text import TextModel, TextModelConfig, WordPieceTokenizer
+from msa_tpu.ops import audio_features as AF
+from msa_tpu.ops import face_features as FF
+from msa_tpu.ops.normalization import normalize_audio, normalize_face, normalize_text
+from msa_tpu.models import fusion as fusion_lib
+from msa_tpu.models import face as face_lib
+from msa_tpu.models import audio as audio_lib
+from msa_tpu.models import text as text_lib
+
+
+@dataclasses.dataclass
+class PipelineModels:
+    """All model modules + params of the flagship multimodal pipeline."""
+
+    landmark: FaceLandmarkNet
+    landmark_params: Any
+    face_cnn: FaceEmotionCNN
+    face_cnn_params: Any
+    audio: AudioEmotionModel
+    audio_params: Any
+    text: TextModel
+    text_params: Any
+    fusion: FusionMLP
+    fusion_params: Any
+    tokenizer: WordPieceTokenizer
+
+    @classmethod
+    def initialize(
+        cls,
+        seed: int = 0,
+        face_cfg: Optional[FaceModelConfig] = None,
+        audio_cfg: Optional[AudioModelConfig] = None,
+        text_cfg: Optional[TextModelConfig] = None,
+        fusion: Optional[FusionMLP] = None,
+        fusion_params: Any = None,
+    ) -> "PipelineModels":
+        face_cfg = face_cfg or FaceModelConfig()
+        audio_cfg = audio_cfg or AudioModelConfig()
+        text_cfg = text_cfg or TextModelConfig()
+        landmark = FaceLandmarkNet(face_cfg)
+        face_cnn = FaceEmotionCNN(face_cfg)
+        audio = AudioEmotionModel(audio_cfg)
+        text = TextModel(text_cfg)
+        fusion = fusion or FusionMLP()
+        if fusion_params is None:
+            fusion_params = fusion_lib.init_params(fusion, seed)
+        return cls(
+            landmark=landmark,
+            landmark_params=face_lib.init_landmark_params(landmark, seed),
+            face_cnn=face_cnn,
+            face_cnn_params=face_lib.init_emotion_params(face_cnn, seed + 1),
+            audio=audio,
+            audio_params=audio_lib.init_params(audio, seed + 2, samples=8000),
+            text=text,
+            text_params=text_lib.init_params(text, seed + 3),
+            fusion=fusion,
+            fusion_params=fusion_params,
+            tokenizer=WordPieceTokenizer(vocab_size=text_cfg.vocab_size),
+        )
+
+    @classmethod
+    def tiny(cls, seed: int = 0) -> "PipelineModels":
+        """Test-scale models — same graph, fast compile."""
+        return cls.initialize(
+            seed,
+            face_cfg=FaceModelConfig.tiny(),
+            audio_cfg=AudioModelConfig.tiny(),
+            text_cfg=TextModelConfig.tiny(),
+            fusion=FusionMLP(hidden_dim=64),
+        )
+
+    def params_tree(self) -> Dict[str, Any]:
+        return {
+            "landmark": self.landmark_params,
+            "face_cnn": self.face_cnn_params,
+            "audio": self.audio_params,
+            "text": self.text_params,
+            "fusion": self.fusion_params,
+        }
+
+
+@dataclasses.dataclass
+class SegmentInputs:
+    """One batch of segments, static shapes (all numpy/jax arrays)."""
+
+    frames: Any  # [B, S, S, 3] f32 in [0,1] (resized on host)
+    audio: Any  # [B, T] f32 waveform (fixed 5 s window, zero-padded)
+    token_ids: Any  # [B, L] i32
+    token_mask: Any  # [B, L] i32
+    face_avail: Any  # [B] bool — host-level availability (exception → False)
+    audio_avail: Any  # [B] bool
+    text_avail: Any  # [B] bool (empty transcript → False, text default used)
+    completeness: Any  # [B] f32 host text heuristic (text_analyzer.py:275-287)
+    relevance: Any  # [B] f32 host text heuristic (text_analyzer.py:289-303)
+    prev_landmarks: Any  # [478, 3] carry for the first row
+    has_prev: Any  # [] bool carry
+
+    @staticmethod
+    def zeros(models: "PipelineModels", batch: int, samples: int = 80_000, tokens: int = 512):
+        s = models.landmark.cfg.frame_size
+        lc = models.landmark.cfg.landmark_count
+        return SegmentInputs(
+            frames=np.zeros((batch, s, s, 3), np.float32),
+            audio=np.zeros((batch, samples), np.float32),
+            token_ids=np.zeros((batch, tokens), np.int32),
+            token_mask=np.zeros((batch, tokens), np.int32),
+            face_avail=np.ones((batch,), bool),
+            audio_avail=np.ones((batch,), bool),
+            text_avail=np.ones((batch,), bool),
+            completeness=np.zeros((batch,), np.float32),
+            relevance=np.zeros((batch,), np.float32),
+            prev_landmarks=np.zeros((lc, 3), np.float32),
+            has_prev=np.asarray(False),
+        )
+
+
+_BATCH_FIELDS = (
+    "frames",
+    "audio",
+    "token_ids",
+    "token_mask",
+    "face_avail",
+    "audio_avail",
+    "text_avail",
+    "completeness",
+    "relevance",
+)
+_CARRY_FIELDS = ("prev_landmarks", "has_prev")
+
+jax.tree_util.register_pytree_node(
+    SegmentInputs,
+    lambda s: (
+        tuple(getattr(s, f) for f in _BATCH_FIELDS + _CARRY_FIELDS),
+        None,
+    ),
+    lambda _, c: SegmentInputs(*c),
+)
+
+
+def pad_segment_inputs(inp: SegmentInputs, multiple: int) -> Tuple[SegmentInputs, int]:
+    """Pad the batch axis to a multiple of the data-mesh size. Padded rows
+    have every modality unavailable, so they cost the default-vector path and
+    are sliced away by the caller. Returns (padded, real_count)."""
+    real = inp.frames.shape[0]
+    padded = ((real + multiple - 1) // multiple) * multiple
+    if padded == real:
+        return inp, real
+    extra = padded - real
+    kwargs = {}
+    for f in _BATCH_FIELDS:
+        x = np.asarray(getattr(inp, f))
+        pad = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+        kwargs[f] = np.pad(x, pad)
+    for f in _CARRY_FIELDS:
+        kwargs[f] = getattr(inp, f)
+    return SegmentInputs(**kwargs), real
+
+
+class SegmentPipeline:
+    """Builds and owns the jitted end-to-end graph.
+
+    With ``mesh`` set, inputs are declared sharded over the mesh's ``data``
+    axis and params replicated, so XLA executes one SPMD program across chips
+    (segments are the data-parallel axis — SURVEY §2.10). Callers pad the
+    batch with :func:`pad_segment_inputs` first.
+    """
+
+    def __init__(
+        self,
+        models: PipelineModels,
+        config: Optional[SystemConfig] = None,
+        original_frame_hw: Tuple[int, int] = (480, 640),
+        mesh=None,
+    ):
+        self.models = models
+        self.config = config or SystemConfig()
+        self.original_frame_hw = original_frame_hw
+        self.mesh = mesh
+        if mesh is None:
+            self._jitted = jax.jit(self._forward)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            params_sh = jax.tree.map(lambda _: rep, models.params_tree())
+            inputs_sh = SegmentInputs(
+                **{f: data for f in _BATCH_FIELDS},
+                **{f: rep for f in _CARRY_FIELDS},
+            )
+            self._jitted = jax.jit(
+                self._forward, in_shardings=(params_sh, inputs_sh)
+            )
+
+    # --- modality branches -------------------------------------------------
+
+    def _face_branch(self, params, frames, face_avail, prev_landmarks, has_prev):
+        m = self.models
+        s = m.landmark.cfg.frame_size
+        oh, ow = self.original_frame_hw
+        lout = m.landmark.apply({"params": params["landmark"]}, frames)
+        landmarks = lout["landmarks"]  # [B, 478, 3]
+        presence = lout["presence"]  # [B]
+        detected = jnp.logical_and(
+            presence >= m.landmark.cfg.min_detection_confidence, face_avail
+        )
+
+        # previous-frame landmarks: explicit carry + shift along the batch
+        prev = jnp.concatenate([prev_landmarks[None], landmarks[:-1]], axis=0)
+        prev_ok = jnp.concatenate([has_prev[None], detected[:-1]], axis=0)
+
+        geometry, position, quality = jax.vmap(
+            lambda lm, pl, fp, hp: FF.face_feature_stack(lm, pl, fp, hp, oh, ow)
+        )(landmarks, prev, detected, prev_ok)
+
+        # emotion CNN on the landmark-bbox crop of the (resized) frame; falls
+        # back to the whole frame when no face (enforce_detection=False)
+        crop_bbox = jax.vmap(lambda lm: FF.bbox(lm, s, s))(landmarks)
+        crop_bbox = crop_bbox * detected[:, None].astype(jnp.float32)
+        gray = rgb_to_gray(frames)
+        crops = jax.vmap(
+            lambda img, bb: bilinear_crop_resize(img, bb, m.face_cnn.cfg.crop_size)
+        )(gray, crop_bbox)
+        emo_deepface = m.face_cnn.apply({"params": params["face_cnn"]}, crops)
+
+        # raw concat (7+5+3+4+6=25) → pad+LN to 27 → slice back
+        raw = jnp.concatenate([emo_deepface, geometry], axis=-1)
+        normed = normalize_face(raw)  # [B, 27]
+        face27 = jnp.concatenate([normed[:, :23], position], axis=-1)
+
+        # host-exception fallback: raw default analysis (face_analyzer.py:476-490)
+        default27 = jnp.concatenate(
+            [jnp.full((7,), 1.0 / 7.0), jnp.zeros(20)]
+        ).astype(jnp.float32)
+        avail = face_avail[:, None].astype(jnp.float32)
+        face27 = face27 * avail + default27[None] * (1 - avail)
+        fields = normed[:, :23] * avail + default27[None, :23] * (1 - avail)
+        quality = quality * face_avail[:, None].astype(quality.dtype)
+        position = position * face_avail[:, None].astype(position.dtype)
+
+        return {
+            "face27": face27,
+            "emotion_probs": fields[:, :7],
+            "micro_expressions": fields[:, 7:12],
+            "gaze_direction": fields[:, 12:15],
+            "muscle_tension": fields[:, 15:19],
+            "movement_patterns": fields[:, 19:23],
+            "face_position": position,  # [B, 4] pixels in original frame
+            "face_quality": quality,  # [B, 4]
+            "landmarks": landmarks,
+            "detected": detected,
+        }
+
+    def _audio_branch(self, params, audio, audio_avail):
+        m = self.models
+        sr = self.config.audio.sample_rate
+        emo8 = m.audio.apply({"params": params["audio"]}, audio)["emotion_probs"]
+        dsp, quality = jax.vmap(
+            lambda w: AF.audio_feature_stack(w, sr, self.config.audio.pitch_mode)
+        )(audio)
+        raw = jnp.concatenate([emo8, dsp], axis=-1)  # [B, 27]
+        normed = normalize_audio(raw)  # [B, 31]
+        audio31 = jnp.concatenate([normed[:, :27], quality], axis=-1)
+
+        # default analysis (audio_analyzer.py:331-345): uniform/zero, raw
+        default31 = jnp.concatenate(
+            [jnp.full((8,), 1.0 / 8.0), jnp.zeros(23)]
+        ).astype(jnp.float32)
+        avail = audio_avail[:, None].astype(jnp.float32)
+        audio31 = audio31 * avail + default31[None] * (1 - avail)
+        fields = normed[:, :27] * avail + default31[None, :27] * (1 - avail)
+        quality = quality * avail
+
+        return {
+            "audio31": audio31,
+            "emotion_probs": fields[:, :8],
+            "pitch": fields[:, 8:9],
+            "intensity": fields[:, 9:10],
+            "timbre": fields[:, 10:23],
+            "speech_rate": fields[:, 23:24],
+            "rhythm": fields[:, 24:27],
+            "audio_quality": quality,  # [B, 4]
+        }
+
+    def _text_branch(self, params, token_ids, token_mask, text_avail, completeness, relevance):
+        m = self.models
+        tout = m.text.apply({"params": params["text"]}, token_ids, token_mask)
+        quality_scalar = (
+            0.4 * tout["coherence"] + 0.3 * completeness + 0.3 * relevance
+        )  # text_analyzer.py:230-241
+        quality = jnp.stack(
+            [quality_scalar, tout["coherence"], completeness, relevance], axis=-1
+        )
+        raw = jnp.concatenate(
+            [
+                tout["emotion_probs"],
+                tout["sarcasm_score"],
+                tout["humor_score"],
+                tout["polarity"],
+                tout["intensity"],
+                tout["context_embedding"],
+            ],
+            axis=-1,
+        )  # [B, 779]
+        normed = normalize_text(raw)  # [B, 783]
+        text783 = jnp.concatenate([normed[:, :779], quality], axis=-1)
+
+        # default analysis (text_analyzer.py:305-319): uniform/zero, raw
+        default783 = jnp.concatenate(
+            [jnp.full((7,), 1.0 / 7.0), jnp.zeros(776)]
+        ).astype(jnp.float32)
+        avail = text_avail[:, None].astype(jnp.float32)
+        text783 = text783 * avail + default783[None] * (1 - avail)
+        fields = normed[:, :779] * avail + default783[None, :779] * (1 - avail)
+        quality = quality * avail
+
+        return {
+            "text783": text783,
+            "emotion_probs": fields[:, :7],
+            "sarcasm_score": fields[:, 7:8],
+            "humor_score": fields[:, 8:9],
+            "polarity": fields[:, 9:10],
+            "intensity": fields[:, 10:11],
+            "context_embedding": fields[:, 11:779],
+            "text_quality": quality,  # [B, 4]
+        }
+
+    # --- full graph ---------------------------------------------------------
+
+    def _forward(self, params, inputs: SegmentInputs):
+        face = self._face_branch(
+            params,
+            inputs.frames,
+            inputs.face_avail,
+            inputs.prev_landmarks,
+            inputs.has_prev,
+        )
+        audio = self._audio_branch(params, inputs.audio, inputs.audio_avail)
+        text = self._text_branch(
+            params,
+            inputs.token_ids,
+            inputs.token_mask,
+            inputs.text_avail,
+            inputs.completeness,
+            inputs.relevance,
+        )
+
+        # nan_to_num before fusion (streaming_processor.py:294-300)
+        f27 = jnp.nan_to_num(face["face27"])
+        a31 = jnp.nan_to_num(audio["audio31"])
+        t783 = jnp.nan_to_num(text["text783"])
+
+        combo = (
+            inputs.face_avail.astype(jnp.int32) * 4
+            + inputs.audio_avail.astype(jnp.int32) * 2
+            + inputs.text_avail.astype(jnp.int32)
+        )
+        fuse = lambda f, a, t, c: self.models.fusion.apply(  # noqa: E731
+            {"params": params["fusion"]},
+            f[None],
+            a[None],
+            t[None],
+            c,
+            method=FusionMLP.fuse_combo,
+        )[0]
+        fused = jax.vmap(fuse)(f27, a31, t783, combo)
+
+        new_carry = (face["landmarks"][-1], face["detected"][-1])
+        return {
+            "face": face,
+            "audio": audio,
+            "text": text,
+            "face27": f27,
+            "audio31": a31,
+            "text783": t783,
+            "combo": combo,
+            "fused": fused,
+        }, new_carry
+
+    def run(self, inputs: SegmentInputs) -> Tuple[Dict[str, Any], Tuple[Any, Any]]:
+        """Execute the jitted graph. Returns (outputs, (last_landmarks,
+        last_detected)) — the carry for the next streaming window."""
+        return self._jitted(self.models.params_tree(), inputs)
+
+    def weights(self) -> Dict[str, float]:
+        return fusion_lib.get_weights(self.models.fusion, self.models.fusion_params)

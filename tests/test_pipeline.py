@@ -1,0 +1,143 @@
+"""End-to-end segment graph tests (tiny models, CPU).
+
+Validates the single jitted pipeline: branch assembly per the canonical
+streaming path (streaming_processor.py:230-300), default-analysis fallbacks,
+combo-based fusion dispatch, and the movement carry.
+"""
+
+import numpy as np
+import pytest
+
+from msa_tpu.pipeline.graph import PipelineModels, SegmentInputs, SegmentPipeline
+
+B, SAMPLES, TOKENS = 3, 4000, 16
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    models = PipelineModels.tiny(seed=0)
+    return SegmentPipeline(models, original_frame_hw=(480, 640))
+
+
+@pytest.fixture(scope="module")
+def inputs(pipeline):
+    rng = np.random.default_rng(0)
+    models = pipeline.models
+    inp = SegmentInputs.zeros(models, B, samples=SAMPLES, tokens=TOKENS)
+    inp.frames = rng.random(inp.frames.shape).astype(np.float32)
+    inp.audio = rng.normal(size=inp.audio.shape).astype(np.float32) * 0.1
+    inp.token_ids = rng.integers(
+        0, models.text.cfg.vocab_size, size=inp.token_ids.shape
+    ).astype(np.int32)
+    inp.token_mask = np.ones_like(inp.token_mask)
+    inp.completeness = rng.random(B).astype(np.float32)
+    inp.relevance = rng.random(B).astype(np.float32)
+    return inp
+
+
+def test_output_shapes_and_finiteness(pipeline, inputs):
+    out, carry = pipeline.run(inputs)
+    assert out["face27"].shape == (B, 27)
+    assert out["audio31"].shape == (B, 31)
+    assert out["text783"].shape == (B, 783)
+    assert out["fused"].shape == (B, 7)
+    for k in ("face27", "audio31", "text783", "fused"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    assert np.asarray(out["combo"]).tolist() == [7, 7, 7]
+    lm, detected = carry
+    assert lm.shape == (478, 3)
+
+
+def test_feature_assembly_slices(pipeline, inputs):
+    """face27 = [LN-normalized 23 | raw position 4]; audio31 = [normalized 27
+    | raw quality 4]; text783 = [normalized 779 | raw quality 4]
+    (streaming_processor.py:230-288)."""
+    out, _ = pipeline.run(inputs)
+    f = out["face"]
+    np.testing.assert_allclose(
+        np.asarray(out["face27"]),
+        np.concatenate(
+            [
+                np.asarray(f["emotion_probs"]),
+                np.asarray(f["micro_expressions"]),
+                np.asarray(f["gaze_direction"]),
+                np.asarray(f["muscle_tension"]),
+                np.asarray(f["movement_patterns"]),
+                np.asarray(f["face_position"]),
+            ],
+            axis=-1,
+        ),
+        atol=1e-6,
+    )
+    a = out["audio"]
+    np.testing.assert_allclose(
+        np.asarray(out["audio31"])[:, 27:], np.asarray(a["audio_quality"]), atol=1e-6
+    )
+    t = out["text"]
+    np.testing.assert_allclose(
+        np.asarray(out["text783"])[:, 779:], np.asarray(t["text_quality"]), atol=1e-6
+    )
+    # text quality blend: 0.4*coherence + 0.3*completeness + 0.3*relevance
+    q = np.asarray(t["text_quality"])
+    np.testing.assert_allclose(
+        q[:, 0], 0.4 * q[:, 1] + 0.3 * q[:, 2] + 0.3 * q[:, 3], atol=1e-5
+    )
+
+
+def test_missing_audio_uses_default_analysis(pipeline, inputs):
+    """audio_avail=False → raw default vector [1/8 ×8, zeros] and 2-modality
+    combo (audio_analyzer.py:331-345 + fusion dispatch)."""
+    import dataclasses as dc
+
+    inp = dc.replace(inputs) if dc.is_dataclass(inputs) else inputs
+    inp = SegmentInputs(**{f.name: getattr(inputs, f.name) for f in dc.fields(inputs)})
+    inp.audio_avail = np.asarray([True, False, True])
+    out, _ = pipeline.run(inp)
+    row = np.asarray(out["audio31"])[1]
+    np.testing.assert_allclose(row[:8], 1.0 / 8.0, atol=1e-6)
+    np.testing.assert_allclose(row[8:], 0.0, atol=1e-6)
+    assert np.asarray(out["combo"]).tolist() == [7, 5, 7]  # face+text for row 1
+
+
+def test_two_modality_combo_matches_direct_fusion(pipeline, inputs):
+    import dataclasses as dc
+
+    inp = SegmentInputs(**{f.name: getattr(inputs, f.name) for f in dc.fields(inputs)})
+    inp.text_avail = np.zeros(B, bool)
+    out, _ = pipeline.run(inp)
+    models = pipeline.models
+    direct = models.fusion.apply(
+        {"params": models.fusion_params},
+        face=np.asarray(out["face27"]),
+        audio=np.asarray(out["audio31"]),
+    )["fused"]
+    np.testing.assert_allclose(
+        np.asarray(out["fused"]), np.asarray(direct), atol=1e-4
+    )
+
+
+def test_movement_carry_chains_between_windows(pipeline, inputs):
+    """Streaming: the carry from window k feeds window k+1; the first window
+    without history must produce zero movement features on row 0."""
+    import dataclasses as dc
+
+    out1, carry1 = pipeline.run(inputs)
+    lm, detected = carry1
+    inp2 = SegmentInputs(**{f.name: getattr(inputs, f.name) for f in dc.fields(inputs)})
+    inp2.prev_landmarks = np.asarray(lm)
+    inp2.has_prev = np.asarray(detected)
+    out2, _ = pipeline.run(inp2)
+    # first window: row 0 has no history → movement slice is the z-score of
+    # zeros == 0 pre-LN; with history it generally differs
+    assert out1["face27"].shape == out2["face27"].shape
+    if bool(np.asarray(detected)):
+        assert not np.allclose(
+            np.asarray(out1["face27"])[0], np.asarray(out2["face27"])[0]
+        )
+
+
+def test_second_call_does_not_retrace(pipeline, inputs):
+    """Same shapes → cached executable (static-shape design goal)."""
+    n0 = pipeline._jitted._cache_size()
+    pipeline.run(inputs)
+    assert pipeline._jitted._cache_size() == n0

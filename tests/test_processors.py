@@ -1,0 +1,213 @@
+"""Integration tests: offline + streaming processors on synthetic media
+(SURVEY §4 items 3 and 5 — tiny synthetic video + sine audio, fake capture
+sources, headless)."""
+
+import numpy as np
+import pytest
+
+from msa_tpu.core.config import (
+    DirectoryConfig,
+    PipelineConfig,
+    SystemConfig,
+)
+from msa_tpu.pipeline.graph import PipelineModels
+from msa_tpu.processors.offline import OfflineProcessor, group_by_speaker
+from msa_tpu.processors.streaming import (
+    StreamingProcessor,
+    SyntheticAudioSource,
+    SyntheticFrameSource,
+)
+
+import dataclasses
+
+SAMPLES = 4000  # tiny static audio window for fast compiles
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    return PipelineModels.tiny(seed=0)
+
+
+def _tiny_config(tmp_path):
+    return SystemConfig(
+        pipeline=PipelineConfig(segment_samples=SAMPLES, batch_size=4),
+        dirs=DirectoryConfig(
+            data_dir=str(tmp_path / "data"),
+            checkpoints_dir=str(tmp_path / "ckpt"),
+            output_dir=str(tmp_path / "out"),
+            temp_dir=str(tmp_path / "tmp"),
+        ),
+    )
+
+
+@pytest.fixture
+def synthetic_video(tmp_path):
+    """3-second 10fps video + sidecar WAV with alternating tone/silence."""
+    cv2 = pytest.importorskip("cv2")
+    from msa_tpu.host.audio_io import save_wav
+
+    path = tmp_path / "clip.mp4"
+    w = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48)
+    )
+    rng = np.random.default_rng(0)
+    for i in range(30):
+        frame = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+        w.write(frame)
+    w.release()
+
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    x = 0.4 * np.sin(2 * np.pi * 220 * t)
+    x[: sr // 2] = 0.001 * rng.normal(size=sr // 2)  # leading quiet
+    save_wav(str(tmp_path / "clip.wav"), x, sr)
+    return str(path)
+
+
+def test_offline_process_video_end_to_end(tmp_path, tiny_models, synthetic_video):
+    cfg = _tiny_config(tmp_path)
+    proc = OfflineProcessor(config=cfg, models=tiny_models)
+    progress, per_segment = [], []
+    results = proc.process_video(
+        synthetic_video,
+        on_result=per_segment.append,
+        on_progress=progress.append,
+    )
+    assert results, "no speakers returned"
+    sp = results[0]
+    # reference aggregate schema (offline_processor.py:259-303)
+    assert set(sp) == {
+        "person",
+        "segments",
+        "dominant_emotion",
+        "emotion_segments",
+        "patterns",
+        "raw_analysis",
+    }
+    assert sp["dominant_emotion"] in [
+        "feliz",
+        "triste",
+        "raiva",
+        "medo",
+        "surpresa",
+        "nojo",
+        "neutro",
+    ]
+    seg = sp["raw_analysis"][0]
+    assert len(seg["face_vec"]) == 27
+    assert len(seg["audio_vec"]) == 31
+    assert len(seg["text_vec"]) == 783
+    assert len(seg["fused_vec"]) == 7
+    assert np.isfinite(seg["fused_vec"]).all()
+    assert per_segment and progress and progress[-1] == pytest.approx(1.0)
+    # D3 effective behavior preserved: stub transcriber → empty transcripts
+    assert seg["transcript"] == ""
+
+
+def test_offline_patterns_and_grouping():
+    def seg(i, emo, spk="A"):
+        return {
+            "start": float(i),
+            "end": float(i + 1),
+            "speaker": spk,
+            "fused_emotion": emo,
+            "fused_vec": [0.0] * 7,
+        }
+
+    results = [seg(0, "feliz"), seg(1, "feliz"), seg(2, "feliz"), seg(3, "triste")]
+    grouped = group_by_speaker(results)
+    assert grouped[0]["dominant_emotion"] == "feliz"
+    assert grouped[0]["patterns"] == ["Emoção consistente 'feliz' nos segmentos 1-3"]
+
+
+def test_offline_video_without_audio(tmp_path, tiny_models):
+    """No audio track → fixed windows + audio default analysis (graceful
+    degradation contract)."""
+    cv2 = pytest.importorskip("cv2")
+    path = tmp_path / "mute.mp4"
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48))
+    for _ in range(20):
+        w.write(np.full((48, 64, 3), 128, np.uint8))
+    w.release()
+
+    cfg = _tiny_config(tmp_path)
+    proc = OfflineProcessor(config=cfg, models=tiny_models)
+    results = proc.process_video(str(path))
+    assert results
+    seg = results[0]["raw_analysis"][0]
+    np.testing.assert_allclose(seg["audio_vec"][:8], 1 / 8, atol=1e-6)
+    np.testing.assert_allclose(seg["audio_vec"][8:], 0.0, atol=1e-6)
+
+
+def test_streaming_run_headless(tmp_path, tiny_models):
+    cfg = _tiny_config(tmp_path)
+    proc = StreamingProcessor(
+        config=cfg,
+        models=tiny_models,
+        frame_source=SyntheticFrameSource(num_frames=40, height=48, width=64),
+        audio_source=SyntheticAudioSource(chunk_seconds=0.25),
+    )
+    outputs = []
+    proc.run(duration=0.01, callback=outputs.append, max_segments=2)
+    assert outputs, "no streaming results"
+    out = outputs[0]
+    # exact reference output dict schema (streaming_processor.py:322-370)
+    assert set(out) == {"face", "audio", "text", "fused_emotion", "weights", "speaker_id"}
+    assert set(out["face"]) == {
+        "emotion_probs",
+        "micro_expressions",
+        "gaze_direction",
+        "muscle_tension",
+        "movement_patterns",
+        "face_position",
+        "face_quality",
+    }
+    assert set(out["audio"]) == {
+        "emotion_probs",
+        "pitch",
+        "intensity",
+        "timbre",
+        "speech_rate",
+        "rhythm",
+        "audio_quality",
+    }
+    # streaming passes text="" → text modality absent (reference :420-424)
+    assert out["text"] is None
+    assert out["fused_emotion"].shape == (7,)
+    assert set(out["weights"]) == {"audio", "text", "face"}
+    assert abs(sum(out["weights"].values()) - 1.0) < 1e-5
+
+
+def test_streaming_process_segment_empty_audio(tmp_path, tiny_models):
+    """Empty audio bytes → face-only fallback: fused_emotion is the RAW
+    27-dim face vector (streaming fallback chain :306-316)."""
+    cfg = _tiny_config(tmp_path)
+    proc = StreamingProcessor(
+        config=cfg,
+        models=tiny_models,
+        frame_source=SyntheticFrameSource(1, 48, 64),
+        audio_source=SyntheticAudioSource(),
+    )
+    frame = np.zeros((48, 64, 3), np.uint8)
+    out = proc.process_segment([frame], b"", "")
+    assert out["audio"] is None
+    assert out["fused_emotion"].shape == (27,)
+    assert out["speaker_id"] == "unknown"
+
+
+def test_streaming_visualizer_draws(tmp_path, tiny_models):
+    pytest.importorskip("cv2")
+    cfg = _tiny_config(tmp_path)
+    proc = StreamingProcessor(
+        config=cfg,
+        models=tiny_models,
+        frame_source=SyntheticFrameSource(1, 48, 64),
+        audio_source=SyntheticAudioSource(),
+    )
+    frame = np.random.default_rng(0).integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    audio = SyntheticAudioSource(chunk_seconds=0.25).drain()
+    result = proc.process_segment([frame], audio, "tudo bem")
+    vis = proc.visualizer.visualize(frame, result)
+    assert vis.shape == frame.shape
+    assert not np.array_equal(vis, frame)  # something was drawn
+    assert result["text"] is not None  # text ran this time
