@@ -1,13 +1,16 @@
 """Benchmark — prints ONE JSON line for the driver.
 
 Metric (BASELINE.json): video-seconds analyzed per second per chip, offline.
-Each analyzed segment covers `segment_duration` = 5 s of video (reference
-config.py:43). ``vs_baseline`` is the ratio against the driver-assigned
-target of 50× realtime per chip (BASELINE.json:5) — 1.0 means the target is
-met exactly.
+Each analyzed segment covers ``segment_duration`` = 5 s of video (reference
+config.py:43), so throughput = segments/sec × 5. The measured graph is the
+FULL flagship pipeline — face landmark net + geometry + crop + emotion CNN,
+audio DSP + wav2vec2-style encoder, BERT trunk + heads, fusion MLP — i.e.
+everything the reference pays per segment (SURVEY §6), as one jitted XLA
+program over production shapes (192×192 frames, 80 000 audio samples, 512
+tokens).
 
-Currently benches the fusion stage (baseline config #1); upgraded to the full
-multimodal segment pipeline as it lands.
+``vs_baseline`` is the ratio against the driver-assigned target of 50×
+realtime per chip (BASELINE.json:5) — 1.0 means the target is met exactly.
 """
 
 from __future__ import annotations
@@ -21,43 +24,52 @@ SEGMENT_SECONDS = 5.0
 TARGET_X_REALTIME = 50.0
 
 
-def bench_fusion(batch: int = 1024, iters: int = 50) -> float:
-    import jax
-    import jax.numpy as jnp
+def bench_full_pipeline(batch: int = 32, iters: int = 10, warmup: int = 2):
+    from msa_tpu.pipeline.graph import PipelineModels, SegmentInputs, SegmentPipeline
 
-    from msa_tpu.models import fusion as fusion_lib
+    models = PipelineModels.initialize(seed=0)
+    pipeline = SegmentPipeline(models)
 
-    model = fusion_lib.FusionMLP()
-    params = fusion_lib.init_params(model, seed=0)
     rng = np.random.default_rng(0)
-    face = jnp.asarray(rng.normal(size=(batch, model.face_dim)), jnp.float32)
-    audio = jnp.asarray(rng.normal(size=(batch, model.audio_dim)), jnp.float32)
-    text = jnp.asarray(rng.normal(size=(batch, model.text_dim)), jnp.float32)
+    inp = SegmentInputs.zeros(models, batch)
+    inp.frames = rng.random(inp.frames.shape).astype(np.float32)
+    inp.audio = (0.1 * rng.normal(size=inp.audio.shape)).astype(np.float32)
+    inp.token_ids = rng.integers(
+        0, models.text.cfg.vocab_size, size=inp.token_ids.shape
+    ).astype(np.int32)
+    inp.token_mask = np.ones_like(inp.token_mask)
+    inp.completeness = rng.random(batch).astype(np.float32)
+    inp.relevance = rng.random(batch).astype(np.float32)
 
-    @jax.jit
-    def forward(face, audio, text):
-        return model.apply({"params": params}, face, audio, text)["fused"]
+    import jax
 
-    forward(face, audio, text).block_until_ready()  # compile
+    inp = jax.device_put(inp)
+    for _ in range(warmup):
+        out, _ = pipeline.run(inp)
+        # NOTE: under the axon tunnel block_until_ready returns before the
+        # computation finishes; a host fetch is the only true sync, so all
+        # timing below is fetch-based.
+        np.asarray(out["fused"])
+
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(face, audio, text)
-    out.block_until_ready()
+        out, _ = pipeline.run(inp)
+    np.asarray(out["fused"])  # forces completion of the whole in-order queue
     dt = time.perf_counter() - t0
+
     segments_per_sec = batch * iters / dt
-    return segments_per_sec * SEGMENT_SECONDS
+    return segments_per_sec * SEGMENT_SECONDS, segments_per_sec
 
 
 def main():
-    video_seconds_per_sec = bench_fusion()
-    x_realtime = video_seconds_per_sec  # per chip (single-chip bench)
+    video_seconds_per_sec, segs = bench_full_pipeline()
     print(
         json.dumps(
             {
-                "metric": "video_seconds_per_sec_per_chip_fusion_stage",
+                "metric": "offline_video_seconds_per_sec_per_chip",
                 "value": round(video_seconds_per_sec, 2),
                 "unit": "video-seconds/sec/chip",
-                "vs_baseline": round(x_realtime / TARGET_X_REALTIME, 3),
+                "vs_baseline": round(video_seconds_per_sec / TARGET_X_REALTIME, 3),
             }
         )
     )

@@ -141,6 +141,9 @@ class PipelineConfig:
     batch_size: int = 8
     compute_dtype: str = "bfloat16"  # MXU-friendly matmuls
     feature_dtype: str = "float32"  # feature math stays f32 for parity
+    # "full" = production encoder sizes; "tiny" = test-scale models (same
+    # graph, fast compile). Env override: MSA_MODEL_SCALE.
+    model_scale: str = "full"
 
 
 @dataclass(frozen=True)
@@ -184,6 +187,13 @@ class SystemConfig:
         if model_updates:
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, **model_updates)
+            )
+        if os.getenv("MSA_MODEL_SCALE"):
+            cfg = dataclasses.replace(
+                cfg,
+                pipeline=dataclasses.replace(
+                    cfg.pipeline, model_scale=os.environ["MSA_MODEL_SCALE"]
+                ),
             )
         return cfg
 

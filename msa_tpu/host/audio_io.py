@@ -53,8 +53,12 @@ def save_wav(path: str, x: np.ndarray, sample_rate: int) -> None:
 
 def pcm16_bytes_to_float(data: bytes) -> np.ndarray:
     """Streaming byte buffer → float32 waveform
-    (streaming_processor.py:183-188 convention)."""
-    return np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
+    (streaming_processor.py:183-188 convention). Uses the native runtime
+    conversion when built."""
+    pcm = np.frombuffer(data, np.int16)
+    from msa_tpu.runtime import pcm16_to_f32
+
+    return pcm16_to_f32(pcm)
 
 
 def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:

@@ -35,6 +35,10 @@ class EncoderConfig:
     dropout: float = 0.1
     layer_norm_eps: float = 1e-12  # BERT default
     compute_dtype: str = "float32"
+    # "einsum" = plain XLA path (training-capable, attn-probs dropout);
+    # "pallas" = fused VMEM attention kernel (inference hot path on TPU,
+    # interpret-mode on CPU). See msa_tpu.ops.pallas.attention.
+    attention_impl: str = "einsum"
 
     @property
     def head_dim(self) -> int:
@@ -64,6 +68,26 @@ class SelfAttention(nn.Module):
         q = dense("query")(x).reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = dense("key")(x).reshape(b, t, cfg.num_heads, cfg.head_dim)
         v = dense("value")(x).reshape(b, t, cfg.num_heads, cfg.head_dim)
+
+        if cfg.attention_impl == "pallas" and deterministic:
+            # fused VMEM attention kernel (msa_tpu.ops.pallas.attention);
+            # training keeps the einsum path for attn-probs dropout
+            import jax
+
+            from msa_tpu.ops.pallas.attention import fused_attention
+
+            key_mask = (mask_bias[:, 0, 0, :] >= -0.5).astype(jnp.float32)
+            interpret = jax.devices()[0].platform != "tpu"
+            out = fused_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                key_mask,
+                interpret=interpret,
+            ).transpose(0, 2, 1, 3)
+            out = out.reshape(b, t, cfg.d_model).astype(dtype)
+            return dense("attn_out")(out)
+
         scale = 1.0 / np.sqrt(cfg.head_dim)
         # [b, h, t, t] — softmax in f32 for stability
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale

@@ -1,0 +1,1 @@
+from msa_tpu.ops.pallas.attention import fused_attention  # noqa: F401

@@ -1,0 +1,120 @@
+"""Fused multi-head attention — Pallas TPU kernel.
+
+The encoders' attention is the hottest non-matmul-bound op in the pipeline
+(BERT trunk: 12 layers × [B, 12, 512, 64]; audio encoder: 250 frames). The
+XLA fallback materializes the [B, H, T, T] probability tensor in HBM between
+three kernels; this Pallas kernel keeps scores/softmax/context for one query
+block entirely in VMEM — one HBM read of Q/K/V, one write of O.
+
+Design (per pallas_guide.md):
+- grid (B, H, num_q_blocks); per step: Q block [BQ, D] in VMEM, full K/V
+  [T, D] in VMEM (T ≤ 1024 at our shapes → ≤256 KB/head, well under the
+  16 MB budget), scores in f32 on the MXU with ``preferred_element_type``.
+- key padding handled by an additive −1e9 bias from the [B, T] mask.
+- ragged T pads to the 128-lane tile and masks the padded keys, so one
+  compiled kernel serves 512-token text and 250-frame audio.
+
+For much longer sequences the kernel should stream K/V blocks with an
+online-softmax accumulator (flash attention proper); at T ≤ 512 the single
+pass is faster (no rescaling traffic) and numerically identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is absent on some CPU-only builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+_LANE = 128  # TPU lane width: last-dim tiles are 128
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
+    k = k_ref[0, 0].astype(jnp.float32)  # [T, D]
+    v = v_ref[0, 0]  # [T, D]
+    m = mask_ref[0]  # [T]
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale + jnp.where(m > 0, 0.0, -1e9)[None, :]
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray,
+    block_q: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q·kᵀ/√d + mask_bias)·v fused in VMEM.
+
+    q, k, v: [B, H, T, D]; key_mask: [B, T] (1 = attend). Returns [B, H, T, D]
+    in q's dtype. T and D are padded to TPU tiles internally.
+    """
+    b, h, t, d = q.shape
+    scale = 1.0 / np.sqrt(d)
+    t_pad = _round_up(t, _LANE)
+    d_pad = _round_up(d, _LANE)
+    bq = min(block_q, t_pad)
+
+    if t_pad != t or d_pad != d:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, d_pad - d)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        key_mask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
+
+    grid = (b, h, t_pad // bq)
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, t_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, t_pad), lambda bi, hi, qi: (bi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        interpret=interpret,
+    )(q, k, v, key_mask)
+    return out[:, :, :t, :d]
+
+
+def reference_attention(q, k, v, key_mask):
+    """Plain-XLA reference implementation (for goldens and fallback)."""
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    s = s + jnp.where(key_mask[:, None, None, :] > 0, 0.0, -1e9)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)

@@ -83,9 +83,20 @@ class PipelineModels:
         fusion: Optional[FusionMLP] = None,
         fusion_params: Any = None,
     ) -> "PipelineModels":
+        import dataclasses as dc
+
+        from msa_tpu.models.transformer import EncoderConfig
+
+        # Production encoder recipe: bfloat16 matmuls on the MXU + the fused
+        # Pallas attention kernel. Feature math and the fusion MLP stay f32
+        # (they carry the 1e-3 parity contract); the encoders are our own
+        # models, so bf16 is the right TPU default.
+        prod_enc = EncoderConfig(
+            compute_dtype="bfloat16", attention_impl="pallas"
+        )
         face_cfg = face_cfg or FaceModelConfig()
-        audio_cfg = audio_cfg or AudioModelConfig()
-        text_cfg = text_cfg or TextModelConfig()
+        audio_cfg = audio_cfg or AudioModelConfig(encoder=prod_enc)
+        text_cfg = text_cfg or TextModelConfig(encoder=prod_enc)
         landmark = FaceLandmarkNet(face_cfg)
         face_cnn = FaceEmotionCNN(face_cfg)
         audio = AudioEmotionModel(audio_cfg)

@@ -32,7 +32,6 @@ import numpy as np
 
 from msa_tpu.core import emotions
 from msa_tpu.core.config import SystemConfig
-from msa_tpu.host.audio_io import fixed_window
 from msa_tpu.host.diarization import make_diarizer
 from msa_tpu.host.transcription import make_transcriber
 from msa_tpu.host.video import VideoReader, extract_audio_track, preprocess_frame
@@ -61,7 +60,13 @@ class OfflineProcessor:
     ):
         self.config = config or SystemConfig.from_env()
         self.config.ensure_directories()
-        self.models = models or PipelineModels.initialize(seed=self.config.seed)
+        if models is None:
+            models = (
+                PipelineModels.tiny(seed=self.config.seed)
+                if self.config.pipeline.model_scale == "tiny"
+                else PipelineModels.initialize(seed=self.config.seed)
+            )
+        self.models = models
         self.mesh = mesh if mesh is not None else mesh_lib.data_parallel_mesh()
         self.diarizer = diarizer or make_diarizer(
             self.config.diarization.model, self.config.processing
@@ -168,6 +173,14 @@ class OfflineProcessor:
             batch = segments[lo : lo + self.batch_size]
             b = len(batch)
             inp = SegmentInputs.zeros(self.models, b, samples=samples, tokens=tokens)
+            if audio_avail:
+                # native batched windower (C++ runtime): all segment windows
+                # in one call instead of a Python slicing loop
+                from msa_tpu.runtime import slice_windows
+
+                starts = np.asarray([int(s["start"] * sr) for s in batch], np.int64)
+                ends = np.asarray([int(s["end"] * sr) for s in batch], np.int64)
+                inp.audio = slice_windows(waveform, starts, ends, samples)
             transcripts: List[str] = []
             for i, seg in enumerate(batch):
                 inp.frames[i] = preprocess_frame(frames[lo + i], size)
@@ -175,7 +188,6 @@ class OfflineProcessor:
                     s0 = int(seg["start"] * sr)
                     s1 = int(seg["end"] * sr)
                     clip = waveform[s0:s1]
-                    inp.audio[i] = fixed_window(clip, samples)
                     text = self.transcriber.transcribe(clip, sr)
                 else:
                     inp.audio_avail[i] = False

@@ -173,7 +173,13 @@ class StreamingProcessor:
         show_window: bool = False,
     ):
         self.config = config or SystemConfig.from_env()
-        self.models = models or PipelineModels.initialize(seed=self.config.seed)
+        if models is None:
+            models = (
+                PipelineModels.tiny(seed=self.config.seed)
+                if self.config.pipeline.model_scale == "tiny"
+                else PipelineModels.initialize(seed=self.config.seed)
+            )
+        self.models = models
         self.frame_source = frame_source
         self.audio_source = audio_source
         self.diarizer = diarizer or make_diarizer(
