@@ -43,7 +43,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
     k = k_ref[0, 0].astype(jnp.float32)  # [T, D]
     v = v_ref[0, 0]  # [T, D]
-    m = mask_ref[0]  # [T]
+    m = mask_ref[0, 0]  # [T]
     s = jax.lax.dot_general(
         q,
         k,
@@ -93,6 +93,9 @@ def fused_attention(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
         key_mask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
+    # [B, 1, T]: a (1, 1, T) block satisfies the TPU tiling rule (the
+    # second-to-last block dim equals the full array dim)
+    key_mask3 = key_mask[:, None, :]
 
     grid = (b, h, t_pad // bq)
     out = pl.pallas_call(
@@ -103,11 +106,11 @@ def fused_attention(
             pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, t_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, t_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, t_pad), lambda bi, hi, qi: (bi, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
         interpret=interpret,
-    )(q, k, v, key_mask)
+    )(q, k, v, key_mask3)
     return out[:, :, :t, :d]
 
 

@@ -241,9 +241,19 @@ class SegmentPipeline:
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from msa_tpu.parallel.mesh import encoder_param_spec
+
             rep = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
-            params_sh = jax.tree.map(lambda _: rep, models.params_tree())
+            # encoder weights follow the Megatron-style tensor-parallel rules
+            # (a no-op P() on a 1-wide model axis); everything else replicates
+            params_sh = jax.tree_util.tree_map_with_path(
+                lambda path, leaf: NamedSharding(
+                    mesh,
+                    encoder_param_spec(tuple(str(k.key) for k in path), leaf),
+                ),
+                models.params_tree(),
+            )
             inputs_sh = SegmentInputs(
                 **{f: data for f in _BATCH_FIELDS},
                 **{f: rep for f in _CARRY_FIELDS},

@@ -77,6 +77,9 @@ class OfflineProcessor:
         self.batch_size = batch_size or self.config.pipeline.batch_size
         self._pipeline: Optional[SegmentPipeline] = None
         self._frame_hw = (480, 640)
+        from msa_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer()  # per-stage observability (SURVEY §5)
 
     def _pipeline_for(self, frame_hw) -> SegmentPipeline:
         if self._pipeline is None or self._frame_hw != frame_hw:
@@ -118,6 +121,7 @@ class OfflineProcessor:
             len(grouped),
             time.perf_counter() - t0,
         )
+        self.timer.log_summary()
         return grouped
 
     # ------------------------------------------------------------------
@@ -130,12 +134,14 @@ class OfflineProcessor:
         with VideoReader(video_path) as video:
             frame_hw = (video.height, video.width)
 
-            audio = extract_audio_track(video_path, cfg.dirs.temp_dir, sr)
+            with self.timer.stage("audio_extract"):
+                audio = extract_audio_track(video_path, cfg.dirs.temp_dir, sr)
             audio_avail = audio is not None
             waveform = audio[0] if audio_avail else np.zeros(0, np.float32)
 
             if audio_avail and len(waveform) > 0:
-                segments = self.diarizer.diarize(waveform, sr)
+                with self.timer.stage("diarize"):
+                    segments = self.diarizer.diarize(waveform, sr)
                 if not segments:
                     # diarizer found no speech turns; still analyze the video
                     # in fixed windows (degradation contract — never return
@@ -156,7 +162,8 @@ class OfflineProcessor:
                 return []
 
             mid_times = [(s["start"] + s["end"]) / 2 for s in segments]
-            frames = video.frames_at(mid_times)  # one ordered decode pass
+            with self.timer.stage("decode"):
+                frames = video.frames_at(mid_times)  # one ordered decode pass
 
         pipeline = self._pipeline_for(frame_hw)
         size = self.models.landmark.cfg.frame_size
@@ -188,7 +195,8 @@ class OfflineProcessor:
                     s0 = int(seg["start"] * sr)
                     s1 = int(seg["end"] * sr)
                     clip = waveform[s0:s1]
-                    text = self.transcriber.transcribe(clip, sr)
+                    with self.timer.stage("transcribe"):
+                        text = self.transcriber.transcribe(clip, sr)
                 else:
                     inp.audio_avail[i] = False
                     text = ""
@@ -209,13 +217,16 @@ class OfflineProcessor:
 
             n_data = self.mesh.shape[mesh_lib.DATA_AXIS] if self.mesh else 1
             inp_padded, real = pad_segment_inputs(inp, n_data)
-            out, _carry = pipeline.run(inp_padded)
+            with self.timer.stage("device"):
+                out, _carry = pipeline.run(inp_padded)
+                # host fetch = true device sync under the axon tunnel
+                fused_all = np.asarray(out["fused"])
             # carry from the last REAL row (padded dummy rows must not feed
             # the next batch's movement history)
             prev_landmarks = np.asarray(out["face"]["landmarks"])[real - 1]
             has_prev = np.asarray(out["face"]["detected"])[real - 1]
 
-            fused = np.asarray(out["fused"])[:b]
+            fused = fused_all[:b]
             f27 = np.asarray(out["face27"])[:b]
             a31 = np.asarray(out["audio31"])[:b]
             t783 = np.asarray(out["text783"])[:b]

@@ -19,7 +19,6 @@ B=1 segment graph as offline, with carried movement state.
 from __future__ import annotations
 
 import logging
-import queue
 import time
 from typing import Callable, Dict, List, Optional, Protocol
 
@@ -121,14 +120,20 @@ class Cv2FrameSource:
 
 
 class PyAudioSource:
-    """Microphone adapter via a callback thread feeding a queue — the
-    reference's only concurrency (streaming_processor.py:104-130)."""
+    """Microphone adapter: the PortAudio callback thread pushes into the
+    native lock-free ring buffer (C++ runtime) — the TPU-native replacement
+    for the reference's Python queue hand-off
+    (streaming_processor.py:104-130). Bounded at 60 s of audio; overflow
+    drops the oldest samples like the reference's frame buffer."""
 
     def __init__(self, sample_rate: int = 16000, channels: int = 1, chunk_size: int = 1024):
         import pyaudio  # optional dependency
 
+        from msa_tpu.runtime import NativeRingBuffer, pcm16_to_f32
+
+        self._pcm16_to_f32 = pcm16_to_f32
+        self._ring = NativeRingBuffer(sample_rate * 60)
         self._pa = pyaudio.PyAudio()
-        self._q: "queue.Queue[bytes]" = queue.Queue()
         self._stream = self._pa.open(
             format=pyaudio.paInt16,
             channels=channels,
@@ -141,17 +146,17 @@ class PyAudioSource:
     def _cb(self, in_data, frame_count, time_info, status):
         import pyaudio
 
-        self._q.put(in_data)
+        self._ring.push(self._pcm16_to_f32(np.frombuffer(in_data, np.int16)))
         return (in_data, pyaudio.paContinue)
 
     def start(self) -> None:
         self._stream.start_stream()
 
     def drain(self) -> bytes:
-        chunks: List[bytes] = []
-        while not self._q.empty():
-            chunks.append(self._q.get())
-        return b"".join(chunks)
+        samples = self._ring.drain()
+        return (
+            np.clip(samples * 32768.0, -32768, 32767).astype(np.int16).tobytes()
+        )
 
     def close(self) -> None:
         self._stream.stop_stream()
