@@ -118,6 +118,41 @@ def make_eval_step(model: fusion_lib.FusionMLP):
     return eval_step
 
 
+def _save_train_state(path: str, epoch: int, params, opt_state, best_val, patience_left):
+    """Crash-resumable trainer state (capability absent in the reference,
+    which keeps only the best weights — SURVEY §5 checkpoint/resume)."""
+    import flax.serialization
+    from pathlib import Path
+
+    payload = {
+        "epoch": epoch,
+        "best_val": float(best_val),
+        "patience_left": int(patience_left),
+        "params": flax.serialization.to_state_dict(params),
+        "opt_state": flax.serialization.to_state_dict(opt_state),
+    }
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_bytes(flax.serialization.msgpack_serialize(payload))
+
+
+def _load_train_state(path: str, params_template, opt_state_template):
+    import flax.serialization
+    from pathlib import Path
+
+    payload = flax.serialization.msgpack_restore(Path(path).read_bytes())
+    params = flax.serialization.from_state_dict(params_template, payload["params"])
+    opt_state = flax.serialization.from_state_dict(
+        opt_state_template, payload["opt_state"]
+    )
+    return (
+        int(payload["epoch"]),
+        params,
+        opt_state,
+        float(payload["best_val"]),
+        int(payload["patience_left"]),
+    )
+
+
 def train(
     data_dir: str = "data/ami",
     checkpoint_dir: str = "checkpoints",
@@ -130,8 +165,10 @@ def train(
     mesh=None,
     model: Optional[fusion_lib.FusionMLP] = None,
     params: Any = None,
+    resume: bool = False,
 ) -> Tuple[Any, Dict[str, List[float]]]:
-    """Full training loop with early stopping + best-val checkpointing."""
+    """Full training loop with early stopping, best-val checkpointing, and
+    crash-resume (``resume=True`` continues from ``last_state.msgpack``)."""
     model = model or fusion_lib.FusionMLP()
     params = params if params is not None else fusion_lib.init_params(model, seed)
     optimizer = make_optimizer(learning_rate, weight_decay)
@@ -148,11 +185,18 @@ def train(
     rng = jax.random.PRNGKey(seed)
     best_val = float("inf")
     patience_left = patience
+    start_epoch = 0
     history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
     ckpt_path = os.path.join(checkpoint_dir, "best_model.msgpack")
+    state_path = os.path.join(checkpoint_dir, "last_state.msgpack")
+    if resume and os.path.exists(state_path):
+        start_epoch, params, opt_state, best_val, patience_left = _load_train_state(
+            state_path, params, opt_state
+        )
+        logger.info("resumed training from epoch %d", start_epoch)
 
     with mesh:
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             losses = []
             for face, audio, text, target in train_ds.batches(
                 batch_size, shuffle=True, seed=seed + epoch
@@ -190,5 +234,8 @@ def train(
                 if patience_left <= 0:
                     logger.info("early stopping at epoch %d", epoch + 1)
                     break
+            _save_train_state(
+                state_path, epoch + 1, params, opt_state, best_val, patience_left
+            )
 
     return params, history
