@@ -24,7 +24,7 @@ SEGMENT_SECONDS = 5.0
 TARGET_X_REALTIME = 50.0
 
 
-def bench_full_pipeline(batch: int = 32, iters: int = 10, warmup: int = 2):
+def bench_full_pipeline(batch: int = 64, iters: int = 10, warmup: int = 2):
     from msa_tpu.pipeline.graph import PipelineModels, SegmentInputs, SegmentPipeline
 
     models = PipelineModels.initialize(seed=0)

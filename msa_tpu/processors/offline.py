@@ -75,6 +75,9 @@ class OfflineProcessor:
             self.config.transcription.model, self.config.transcription.language
         )
         self.batch_size = batch_size or self.config.pipeline.batch_size
+        # static token-length buckets — each compiles once, shortest
+        # sufficient bucket wins per batch
+        self.token_buckets = (32, 128, 512)
         self._pipeline: Optional[SegmentPipeline] = None
         self._frame_hw = (480, 640)
         from msa_tpu.utils.profiling import StageTimer
@@ -167,7 +170,7 @@ class OfflineProcessor:
 
         pipeline = self._pipeline_for(frame_hw)
         size = self.models.landmark.cfg.frame_size
-        tokens = cfg.text.max_length if self.models.text.cfg.max_positions >= cfg.text.max_length else self.models.text.cfg.max_positions
+        token_cap = min(cfg.text.max_length, self.models.text.cfg.max_positions)
 
         n = len(segments)
         seg_results: List[Dict] = []
@@ -179,6 +182,33 @@ class OfflineProcessor:
         for lo in range(0, n, self.batch_size):
             batch = segments[lo : lo + self.batch_size]
             b = len(batch)
+
+            # transcribe first so the token bucket for the batch is known
+            transcripts: List[str] = []
+            encodings = []
+            for seg in batch:
+                if audio_avail:
+                    clip = waveform[int(seg["start"] * sr) : int(seg["end"] * sr)]
+                    with self.timer.stage("transcribe"):
+                        text = self.transcriber.transcribe(clip, sr)
+                else:
+                    text = ""
+                transcripts.append(text)
+                encodings.append(
+                    self.models.tokenizer.encode(text, token_cap)
+                    if text and text.strip()
+                    else None
+                )
+            # sequence-length bucketing: transcripts of 5 s segments are
+            # short; paying the full 512-token attention for them wastes
+            # ~4× text FLOPs. Pads beyond the bucket carry no information
+            # (padding-invariance is tested), so one extra compiled shape
+            # per bucket buys the savings.
+            needed = max((int(m.sum()) for _, m in filter(None, encodings)), default=1)
+            tokens = next(
+                (t for t in self.token_buckets if needed <= t <= token_cap), token_cap
+            )
+
             inp = SegmentInputs.zeros(self.models, b, samples=samples, tokens=tokens)
             if audio_avail:
                 # native batched windower (C++ runtime): all segment windows
@@ -188,23 +218,15 @@ class OfflineProcessor:
                 starts = np.asarray([int(s["start"] * sr) for s in batch], np.int64)
                 ends = np.asarray([int(s["end"] * sr) for s in batch], np.int64)
                 inp.audio = slice_windows(waveform, starts, ends, samples)
-            transcripts: List[str] = []
             for i, seg in enumerate(batch):
                 inp.frames[i] = preprocess_frame(frames[lo + i], size)
-                if audio_avail:
-                    s0 = int(seg["start"] * sr)
-                    s1 = int(seg["end"] * sr)
-                    clip = waveform[s0:s1]
-                    with self.timer.stage("transcribe"):
-                        text = self.transcriber.transcribe(clip, sr)
-                else:
+                if not audio_avail:
                     inp.audio_avail[i] = False
-                    text = ""
-                transcripts.append(text)
-                if text and text.strip():
-                    ids, mask = self.models.tokenizer.encode(text, tokens)
-                    inp.token_ids[i] = ids
-                    inp.token_mask[i] = mask
+                text = transcripts[i]
+                if encodings[i] is not None:
+                    ids, mask = encodings[i]
+                    inp.token_ids[i] = ids[:tokens]
+                    inp.token_mask[i] = mask[:tokens]
                     inp.completeness[i] = text_completeness(text)
                     inp.relevance[i] = text_relevance(text)
                 else:

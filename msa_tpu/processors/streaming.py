@@ -260,7 +260,17 @@ class StreamingProcessor:
             frame_hw = frame.shape[:2]
             pipeline = self._pipeline_for(frame_hw)
             size = self.models.landmark.cfg.frame_size
-            tokens = min(cfg.text.max_length, self.models.text.cfg.max_positions)
+            token_cap = min(cfg.text.max_length, self.models.text.cfg.max_positions)
+
+            # sequence-length bucketing (see OfflineProcessor): live
+            # transcripts are short; the smallest sufficient static shape wins
+            encoding = (
+                self.models.tokenizer.encode(text, token_cap) if text_avail else None
+            )
+            needed = int(encoding[1].sum()) if encoding is not None else 1
+            tokens = next(
+                (t for t in (32, 128, 512) if needed <= t <= token_cap), token_cap
+            )
 
             inp = SegmentInputs.zeros(self.models, 1, samples=samples, tokens=tokens)
             inp.frames[0] = preprocess_frame(frame, size)
@@ -268,10 +278,10 @@ class StreamingProcessor:
             inp.face_avail[0] = face_avail
             inp.audio_avail[0] = audio_avail
             inp.text_avail[0] = text_avail
-            if text_avail:
-                ids, mask = self.models.tokenizer.encode(text, tokens)
-                inp.token_ids[0] = ids
-                inp.token_mask[0] = mask
+            if encoding is not None:
+                ids, mask = encoding
+                inp.token_ids[0] = ids[:tokens]
+                inp.token_mask[0] = mask[:tokens]
                 inp.completeness[0] = text_completeness(text)
                 inp.relevance[0] = text_relevance(text)
             inp.prev_landmarks = self._prev_landmarks
