@@ -174,6 +174,7 @@ class OfflineProcessor:
 
         n = len(segments)
         seg_results: List[Dict] = []
+        pending: List[tuple] = []  # (batch, transcripts, device outputs)
         prev_landmarks = np.zeros(
             (self.models.landmark.cfg.landmark_count, 3), np.float32
         )
@@ -239,19 +240,27 @@ class OfflineProcessor:
 
             n_data = self.mesh.shape[mesh_lib.DATA_AXIS] if self.mesh else 1
             inp_padded, real = pad_segment_inputs(inp, n_data)
-            with self.timer.stage("device"):
+            with self.timer.stage("dispatch"):
                 out, _carry = pipeline.run(inp_padded)
-                # host fetch = true device sync under the axon tunnel
-                fused_all = np.asarray(out["fused"])
-            # carry from the last REAL row (padded dummy rows must not feed
-            # the next batch's movement history)
-            prev_landmarks = np.asarray(out["face"]["landmarks"])[real - 1]
-            has_prev = np.asarray(out["face"]["detected"])[real - 1]
+            # The movement carry stays ON DEVICE: the next batch's dispatch
+            # chains on these values without a host round trip, so host prep
+            # of batch k+1 (decode/tokenize/windows) overlaps device compute
+            # of batch k. Padded dummy rows must not feed the history, hence
+            # the slice at the last REAL row.
+            prev_landmarks = out["face"]["landmarks"][real - 1]
+            has_prev = out["face"]["detected"][real - 1]
+            pending.append((batch, transcripts, out))
+            if on_progress:
+                on_progress(0.5 * min((lo + b) / n, 1.0))
 
-            fused = fused_all[:b]
-            f27 = np.asarray(out["face27"])[:b]
-            a31 = np.asarray(out["audio31"])[:b]
-            t783 = np.asarray(out["text783"])[:b]
+        # fetch phase: one host sync per batch, after everything is queued
+        for batch, transcripts, out in pending:
+            b = len(batch)
+            with self.timer.stage("fetch"):
+                fused = np.asarray(out["fused"])[:b]
+                f27 = np.asarray(out["face27"])[:b]
+                a31 = np.asarray(out["audio31"])[:b]
+                t783 = np.asarray(out["text783"])[:b]
             for i, seg in enumerate(batch):
                 fused_vec = fused[i]
                 seg_results.append(
@@ -272,7 +281,7 @@ class OfflineProcessor:
                     }
                 )
             if on_progress:
-                on_progress(min((lo + b) / n, 1.0))
+                on_progress(0.5 + 0.5 * min(len(seg_results) / n, 1.0))
         return seg_results
 
 
