@@ -32,7 +32,7 @@ def bench_full_pipeline(batch: int = 64, iters: int = 10, warmup: int = 2):
 
     rng = np.random.default_rng(0)
     inp = SegmentInputs.zeros(models, batch)
-    inp.frames = rng.random(inp.frames.shape).astype(np.float32)
+    inp.frames = rng.integers(0, 255, size=inp.frames.shape, dtype=np.uint8)
     inp.audio = (0.1 * rng.normal(size=inp.audio.shape)).astype(np.float32)
     inp.token_ids = rng.integers(
         0, models.text.cfg.vocab_size, size=inp.token_ids.shape

@@ -70,12 +70,12 @@ class VideoReader:
 
 
 def preprocess_frame(frame_bgr: np.ndarray, size: int) -> np.ndarray:
-    """BGR uint8 → RGB float32 [0,1] resized to the landmark-net input."""
+    """BGR uint8 → RGB uint8 resized to the landmark-net input. Stays uint8:
+    normalization to [0,1] happens on device (4× less transfer)."""
     import cv2
 
     rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
-    resized = cv2.resize(rgb, (size, size), interpolation=cv2.INTER_LINEAR)
-    return resized.astype(np.float32) / 255.0
+    return cv2.resize(rgb, (size, size), interpolation=cv2.INTER_LINEAR)
 
 
 def extract_audio_track(

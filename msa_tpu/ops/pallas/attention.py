@@ -121,3 +121,107 @@ def reference_attention(q, k, v, key_mask):
     s = s + jnp.where(key_mask[:, None, None, :] > 0, 0.0, -1e9)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+# --- blockwise flash attention (online softmax) ------------------------------
+#
+# For long sequences the single-pass kernel above would need the whole K/V in
+# VMEM. This variant streams K/V blocks through the grid's innermost
+# dimension with the standard running-max/denominator recurrence, so VMEM
+# holds one (BQ, BK) tile at a time — the blockwise/ring-ready attention
+# SURVEY §5 calls for behind the same encoder interface.
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float
+):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
+    k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
+    v = v_ref[0, 0].astype(jnp.float32)  # [BK, D]
+    mask = mask_ref[0, 0]  # [BK]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + jnp.where(mask > 0, 0.0, -1e9)[None, :]  # [BQ, BK]
+
+    m_prev = m_scr[:, :1]  # [BQ, 1]
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(s - m_cur)  # [BQ, BK]
+    l_cur = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_cur, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_cur, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        o_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Blockwise attention with online softmax. Same contract as
+    :func:`fused_attention`; VMEM footprint O(BQ·BK) instead of O(BQ·T)."""
+    b, h, t, d = q.shape
+    scale = 1.0 / np.sqrt(d)
+    t_pad = _round_up(t, max(_LANE, block_k))
+    d_pad = _round_up(d, _LANE)
+    bq = min(block_q, t_pad)
+    bk = min(block_k, t_pad)
+
+    if t_pad != t or d_pad != d:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, d_pad - d)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        key_mask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
+    key_mask3 = key_mask[:, None, :]
+
+    grid = (b, h, t_pad // bq, t_pad // bk)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, _LANE), jnp.float32) if _HAS_PLTPU else None,
+            pltpu.VMEM((bq, _LANE), jnp.float32) if _HAS_PLTPU else None,
+            pltpu.VMEM((bq, d_pad), jnp.float32) if _HAS_PLTPU else None,
+        ],
+        interpret=interpret,
+    )(q, k, v, key_mask3)
+    return out[:, :, :t, :d]

@@ -160,7 +160,8 @@ class SegmentInputs:
         s = models.landmark.cfg.frame_size
         lc = models.landmark.cfg.landmark_count
         return SegmentInputs(
-            frames=np.zeros((batch, s, s, 3), np.float32),
+            # uint8 RGB: 4× less host→device transfer; the graph converts
+            frames=np.zeros((batch, s, s, 3), np.uint8),
             audio=np.zeros((batch, samples), np.float32),
             token_ids=np.zeros((batch, tokens), np.int32),
             token_mask=np.zeros((batch, tokens), np.int32),
@@ -268,6 +269,10 @@ class SegmentPipeline:
         m = self.models
         s = m.landmark.cfg.frame_size
         oh, ow = self.original_frame_hw
+        # frames arrive as uint8 RGB; normalize on device (cheap VPU op,
+        # saves 4× host→device bandwidth)
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(jnp.float32) / 255.0
         lout = m.landmark.apply({"params": params["landmark"]}, frames)
         landmarks = lout["landmarks"]  # [B, 478, 3]
         presence = lout["presence"]  # [B]

@@ -165,102 +165,122 @@ class OfflineProcessor:
                 return []
 
             mid_times = [(s["start"] + s["end"]) / 2 for s in segments]
-            with self.timer.stage("decode"):
-                frames = video.frames_at(mid_times)  # one ordered decode pass
 
-        pipeline = self._pipeline_for(frame_hw)
-        size = self.models.landmark.cfg.frame_size
-        token_cap = min(cfg.text.max_length, self.models.text.cfg.max_positions)
+            pipeline = self._pipeline_for(frame_hw)
+            size = self.models.landmark.cfg.frame_size
+            token_cap = min(cfg.text.max_length, self.models.text.cfg.max_positions)
 
-        n = len(segments)
-        seg_results: List[Dict] = []
-        pending: List[tuple] = []  # (batch, transcripts, device outputs)
-        prev_landmarks = np.zeros(
-            (self.models.landmark.cfg.landmark_count, 3), np.float32
-        )
-        has_prev = np.asarray(False)
-
-        for lo in range(0, n, self.batch_size):
-            batch = segments[lo : lo + self.batch_size]
-            b = len(batch)
-
-            # transcribe first so the token bucket for the batch is known
-            transcripts: List[str] = []
-            encodings = []
-            for seg in batch:
-                if audio_avail:
-                    clip = waveform[int(seg["start"] * sr) : int(seg["end"] * sr)]
-                    with self.timer.stage("transcribe"):
-                        text = self.transcriber.transcribe(clip, sr)
-                else:
-                    text = ""
-                transcripts.append(text)
-                encodings.append(
-                    self.models.tokenizer.encode(text, token_cap)
-                    if text and text.strip()
-                    else None
-                )
-            # sequence-length bucketing: transcripts of 5 s segments are
-            # short; paying the full 512-token attention for them wastes
-            # ~4× text FLOPs. Pads beyond the bucket carry no information
-            # (padding-invariance is tested), so one extra compiled shape
-            # per bucket buys the savings.
-            needed = max((int(m.sum()) for _, m in filter(None, encodings)), default=1)
-            tokens = next(
-                (t for t in self.token_buckets if needed <= t <= token_cap), token_cap
+            n = len(segments)
+            seg_results: List[Dict] = []
+            pending: List[tuple] = []  # (batch, transcripts, device outputs)
+            prev_landmarks = np.zeros(
+                (self.models.landmark.cfg.landmark_count, 3), np.float32
             )
+            has_prev = np.asarray(False)
 
-            inp = SegmentInputs.zeros(self.models, b, samples=samples, tokens=tokens)
-            if audio_avail:
-                # native batched windower (C++ runtime): all segment windows
-                # in one call instead of a Python slicing loop
-                from msa_tpu.runtime import slice_windows
+            # one-batch-ahead frame decode: cv2 releases the GIL, so decoding
+            # batch k+1 overlaps the device dispatch/wait of batch k (decode
+            # was 70% of steady-state wall time before this)
+            import concurrent.futures
 
-                starts = np.asarray([int(s["start"] * sr) for s in batch], np.int64)
-                ends = np.asarray([int(s["end"] * sr) for s in batch], np.int64)
-                inp.audio = slice_windows(waveform, starts, ends, samples)
-            for i, seg in enumerate(batch):
-                inp.frames[i] = preprocess_frame(frames[lo + i], size)
-                if not audio_avail:
-                    inp.audio_avail[i] = False
-                text = transcripts[i]
-                if encodings[i] is not None:
-                    ids, mask = encodings[i]
-                    inp.token_ids[i] = ids[:tokens]
-                    inp.token_mask[i] = mask[:tokens]
-                    inp.completeness[i] = text_completeness(text)
-                    inp.relevance[i] = text_relevance(text)
-                else:
-                    # empty transcript → default text analysis participates in
-                    # fusion (reference offline path: analyze("") → default →
-                    # still fused 3-way, text_analyzer.py:66-68)
-                    inp.text_avail[i] = False
-            inp.prev_landmarks = prev_landmarks
-            inp.has_prev = has_prev
+            decode_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            batch_ranges = list(range(0, n, self.batch_size))
 
-            n_data = self.mesh.shape[mesh_lib.DATA_AXIS] if self.mesh else 1
-            inp_padded, real = pad_segment_inputs(inp, n_data)
-            with self.timer.stage("dispatch"):
-                out, _carry = pipeline.run(inp_padded)
-            # The movement carry stays ON DEVICE: the next batch's dispatch
-            # chains on these values without a host round trip, so host prep
-            # of batch k+1 (decode/tokenize/windows) overlaps device compute
-            # of batch k. Padded dummy rows must not feed the history, hence
-            # the slice at the last REAL row.
-            prev_landmarks = out["face"]["landmarks"][real - 1]
-            has_prev = out["face"]["detected"][real - 1]
-            pending.append((batch, transcripts, out))
-            if on_progress:
-                on_progress(0.5 * min((lo + b) / n, 1.0))
+            def _decode(lo: int):
+                hi = min(lo + self.batch_size, n)
+                return video.frames_at(mid_times[lo:hi])
 
-        # fetch phase: one host sync per batch, after everything is queued
+            frames_future = decode_pool.submit(_decode, batch_ranges[0])
+
+            for bi, lo in enumerate(batch_ranges):
+                batch = segments[lo : lo + self.batch_size]
+                b = len(batch)
+                with self.timer.stage("decode_wait"):
+                    frames = frames_future.result()
+                if bi + 1 < len(batch_ranges):
+                    frames_future = decode_pool.submit(_decode, batch_ranges[bi + 1])
+
+                # transcribe first so the token bucket for the batch is known
+                transcripts: List[str] = []
+                encodings = []
+                for seg in batch:
+                    if audio_avail:
+                        clip = waveform[int(seg["start"] * sr) : int(seg["end"] * sr)]
+                        with self.timer.stage("transcribe"):
+                            text = self.transcriber.transcribe(clip, sr)
+                    else:
+                        text = ""
+                    transcripts.append(text)
+                    encodings.append(
+                        self.models.tokenizer.encode(text, token_cap)
+                        if text and text.strip()
+                        else None
+                    )
+                # sequence-length bucketing: transcripts of 5 s segments are
+                # short; paying the full 512-token attention for them wastes
+                # ~4× text FLOPs. Pads beyond the bucket carry no information
+                # (padding-invariance is tested), so one extra compiled shape
+                # per bucket buys the savings.
+                needed = max((int(m.sum()) for _, m in filter(None, encodings)), default=1)
+                tokens = next(
+                    (t for t in self.token_buckets if needed <= t <= token_cap), token_cap
+                )
+
+                inp = SegmentInputs.zeros(self.models, b, samples=samples, tokens=tokens)
+                if audio_avail:
+                    # native batched windower (C++ runtime): all segment windows
+                    # in one call instead of a Python slicing loop
+                    from msa_tpu.runtime import slice_windows
+
+                    starts = np.asarray([int(s["start"] * sr) for s in batch], np.int64)
+                    ends = np.asarray([int(s["end"] * sr) for s in batch], np.int64)
+                    inp.audio = slice_windows(waveform, starts, ends, samples)
+                for i, seg in enumerate(batch):
+                    inp.frames[i] = preprocess_frame(frames[i], size)
+                    if not audio_avail:
+                        inp.audio_avail[i] = False
+                    text = transcripts[i]
+                    if encodings[i] is not None:
+                        ids, mask = encodings[i]
+                        inp.token_ids[i] = ids[:tokens]
+                        inp.token_mask[i] = mask[:tokens]
+                        inp.completeness[i] = text_completeness(text)
+                        inp.relevance[i] = text_relevance(text)
+                    else:
+                        # empty transcript → default text analysis participates in
+                        # fusion (reference offline path: analyze("") → default →
+                        # still fused 3-way, text_analyzer.py:66-68)
+                        inp.text_avail[i] = False
+                inp.prev_landmarks = prev_landmarks
+                inp.has_prev = has_prev
+
+                n_data = self.mesh.shape[mesh_lib.DATA_AXIS] if self.mesh else 1
+                inp_padded, real = pad_segment_inputs(inp, n_data)
+                with self.timer.stage("dispatch"):
+                    out, _carry = pipeline.run(inp_padded)
+                # The movement carry stays ON DEVICE: the next batch's dispatch
+                # chains on these values without a host round trip, so host prep
+                # of batch k+1 (decode/tokenize/windows) overlaps device compute
+                # of batch k. Padded dummy rows must not feed the history, hence
+                # the slice at the last REAL row.
+                prev_landmarks = out["face"]["landmarks"][real - 1]
+                has_prev = out["face"]["detected"][real - 1]
+                pending.append((batch, transcripts, out))
+                if on_progress:
+                    on_progress(0.5 * min((lo + b) / n, 1.0))
+            decode_pool.shutdown(wait=True)
+
+        # fetch phase: ONE batched device_get per batch (each np.asarray is a
+        # separate tunnel round trip), after everything is queued
+        import jax
+
         for batch, transcripts, out in pending:
             b = len(batch)
             with self.timer.stage("fetch"):
-                fused = np.asarray(out["fused"])[:b]
-                f27 = np.asarray(out["face27"])[:b]
-                a31 = np.asarray(out["audio31"])[:b]
-                t783 = np.asarray(out["text783"])[:b]
+                fused, f27, a31, t783 = jax.device_get(
+                    (out["fused"], out["face27"], out["audio31"], out["text783"])
+                )
+                fused, f27, a31, t783 = fused[:b], f27[:b], a31[:b], t783[:b]
             for i, seg in enumerate(batch):
                 fused_vec = fused[i]
                 seg_results.append(
@@ -283,6 +303,81 @@ class OfflineProcessor:
             if on_progress:
                 on_progress(0.5 + 0.5 * min(len(seg_results) / n, 1.0))
         return seg_results
+
+
+def export_speaker_analysis(speaker: Dict, weights: Optional[Dict] = None) -> Dict:
+    """Export one grouped speaker result in the JSON schema the reference's
+    README documents (reference README.md:127-180) but its code never
+    actually produces: segments with per-modality analysis dicts, a fused
+    analysis with confidence + modality weights, average_confidence and an
+    emotion_timeline."""
+    weights = weights or {"face": 0.4, "audio": 0.3, "text": 0.3}
+
+    def _softmax(v):
+        v = np.asarray(v, np.float64)
+        e = np.exp(v - v.max())
+        return e / e.sum()
+
+    segments = []
+    confidences = []
+    timeline = []
+    for r in speaker["raw_analysis"]:
+        face = np.asarray(r["face_vec"])
+        audio = np.asarray(r["audio_vec"])
+        text = np.asarray(r["text_vec"])
+        fused_probs = _softmax(r["fused_vec"])
+        conf = float(fused_probs.max())
+        confidences.append(conf)
+        timeline.append(
+            {"time": r["start"], "emotion": r["fused_emotion"], "confidence": conf}
+        )
+        segments.append(
+            {
+                "start_time": r["start"],
+                "end_time": r["end"],
+                "face_analysis": {
+                    "emotion_probs": face[:7].tolist(),
+                    "micro_expressions": face[7:12].tolist(),
+                    "gaze_direction": face[12:15].tolist(),
+                    "muscle_tension": face[15:19].tolist(),
+                    "movement_patterns": face[19:23].tolist(),
+                },
+                "audio_analysis": {
+                    "emotion_probs": audio[:8].tolist(),
+                    "pitch": float(audio[8]),
+                    "intensity": float(audio[9]),
+                    "timbre": audio[10:23].tolist(),
+                    "speech_rate": float(audio[23]),
+                    "rhythm": audio[24:27].tolist(),
+                },
+                "text_analysis": {
+                    "emotion_probs": text[:7].tolist(),
+                    "sarcasm_score": float(text[7]),
+                    "humor_score": float(text[8]),
+                    "polarity": float(text[9]),
+                    "intensity": float(text[10]),
+                    "context_embedding": text[11:779].tolist(),
+                },
+                "fused_analysis": {
+                    "emotion_probs": fused_probs.tolist(),
+                    "confidence": conf,
+                    "face_weight": weights["face"],
+                    "audio_weight": weights["audio"],
+                    "text_weight": weights["text"],
+                },
+                "transcript": r["transcript"],
+                "confidence": conf,
+                "dominant_emotion": r["fused_emotion"],
+            }
+        )
+    return {
+        "speaker_id": speaker["person"],
+        "segments": segments,
+        "dominant_emotion": speaker["dominant_emotion"],
+        "emotion_patterns": speaker["patterns"],
+        "average_confidence": float(np.mean(confidences)) if confidences else 0.0,
+        "emotion_timeline": timeline,
+    }
 
 
 def group_by_speaker(results: List[Dict]) -> List[Dict]:

@@ -53,3 +53,34 @@ def test_encoder_pallas_impl_matches_einsum(rng):
     out_e = np.asarray(enc.apply({"params": params}, x, mask))
     out_p = np.asarray(enc_pallas.apply({"params": params}, x, mask))
     np.testing.assert_allclose(out_p, out_e, atol=5e-5)
+
+
+@pytest.mark.parametrize("t,d,bq,bk", [(256, 64, 128, 128), (300, 32, 128, 128)])
+def test_flash_attention_matches_reference(rng, t, d, bq, bk):
+    from msa_tpu.ops.pallas.attention import flash_attention
+
+    b, h = 2, 2
+    q = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+    mask[0, t - 40 :] = 0.0
+    got = np.asarray(
+        flash_attention(q, k, v, mask, block_q=bq, block_k=bk, interpret=True)
+    )
+    want = np.asarray(reference_attention(q, k, v, mask))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_flash_attention_long_sequence(rng):
+    """Longer-than-VMEM-friendly sequence streams through k blocks."""
+    from msa_tpu.ops.pallas.attention import flash_attention
+
+    b, h, t, d = 1, 1, 1024, 64
+    q = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+    got = np.asarray(flash_attention(q, k, v, mask, interpret=True))
+    want = np.asarray(reference_attention(q, k, v, mask))
+    np.testing.assert_allclose(got, want, atol=3e-5)

@@ -211,3 +211,45 @@ def test_streaming_visualizer_draws(tmp_path, tiny_models):
     assert vis.shape == frame.shape
     assert not np.array_equal(vis, frame)  # something was drawn
     assert result["text"] is not None  # text ran this time
+
+
+def test_export_speaker_analysis_readme_schema(rng):
+    """README.md:127-180 documented schema (the reference never actually
+    produced it — export adapter closes the gap)."""
+    from msa_tpu.processors.offline import export_speaker_analysis, group_by_speaker
+
+    def seg(i, emo):
+        return {
+            "start": float(i * 5),
+            "end": float(i * 5 + 5),
+            "speaker": "S1",
+            "face_vec": rng.normal(size=27).tolist(),
+            "audio_vec": rng.normal(size=31).tolist(),
+            "text_vec": rng.normal(size=783).tolist(),
+            "fused_vec": rng.normal(size=7).tolist(),
+            "fused_emotion": emo,
+            "transcript": "",
+        }
+
+    grouped = group_by_speaker([seg(0, "feliz"), seg(1, "triste")])
+    report = export_speaker_analysis(grouped[0])
+    assert set(report) == {
+        "speaker_id",
+        "segments",
+        "dominant_emotion",
+        "emotion_patterns",
+        "average_confidence",
+        "emotion_timeline",
+    }
+    s = report["segments"][0]
+    assert set(s["face_analysis"]) == {
+        "emotion_probs",
+        "micro_expressions",
+        "gaze_direction",
+        "muscle_tension",
+        "movement_patterns",
+    }
+    assert len(s["fused_analysis"]["emotion_probs"]) == 7
+    assert abs(sum(s["fused_analysis"]["emotion_probs"]) - 1.0) < 1e-6
+    assert 0.0 <= report["average_confidence"] <= 1.0
+    assert report["emotion_timeline"][0]["emotion"] == "feliz"
