@@ -118,12 +118,120 @@ class EnergyVADDiarizer:
         return out
 
 
+class ClusteringDiarizer:
+    """Multi-speaker diarization: energy VAD spans + MFCC-embedding
+    clustering.
+
+    The reference's pyannote pipeline distinguishes up to 4 speakers
+    (DIARIZATION_CONFIG, config.py:67-72); this deterministic host-side
+    equivalent clusters VAD spans by their mean-MFCC voice signature with
+    k-means, picking k ∈ [min_speakers, max_speakers] by silhouette-style
+    separation. Labels follow pyannote's SPEAKER_NN convention.
+    """
+
+    def __init__(
+        self,
+        segment_duration: float = 5.0,
+        min_speech_duration: float = 0.5,
+        min_pause_duration: float = 0.5,
+        min_speakers: int = 1,
+        max_speakers: int = 4,
+    ):
+        self._vad = EnergyVADDiarizer(
+            segment_duration, min_speech_duration, min_pause_duration
+        )
+        self.min_speakers = min_speakers
+        self.max_speakers = max_speakers
+
+    def _embedding(self, clip: np.ndarray, sample_rate: int) -> np.ndarray:
+        """Cheap voice signature: time-mean + std of 13 MFCCs (host numpy,
+        scipy FFT — runs before any device work)."""
+        import scipy.fft
+
+        from msa_tpu.ops.audio_features import dct_matrix_ortho, mel_filterbank
+
+        n_fft, hop, n_mels = 400, 200, 64
+        if len(clip) < n_fft:
+            clip = np.pad(clip, (0, n_fft - len(clip)))
+        n = 1 + (len(clip) - n_fft) // hop
+        idx = np.arange(n)[:, None] * hop + np.arange(n_fft)[None, :]
+        frames = clip[idx] * np.hanning(n_fft + 1)[:-1]
+        power = np.abs(np.fft.rfft(frames, axis=-1)) ** 2  # [n, freq]
+        fb = mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate, 0.0, sample_rate / 2)
+        mel = np.log10(np.maximum(power @ fb, 1e-10))
+        mfcc = mel @ dct_matrix_ortho(13, n_mels)  # [n, 13]
+        emb = np.concatenate([mfcc.mean(0), mfcc.std(0)])
+        norm = np.linalg.norm(emb)
+        return emb / (norm + 1e-8)
+
+    @staticmethod
+    def _kmeans(x: np.ndarray, k: int, iters: int = 25, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        centers = x[rng.choice(len(x), size=k, replace=False)]
+        labels = np.zeros(len(x), np.int64)
+        for _ in range(iters):
+            d = ((x[:, None, :] - centers[None]) ** 2).sum(-1)
+            labels = d.argmin(1)
+            for j in range(k):
+                sel = labels == j
+                if sel.any():
+                    centers[j] = x[sel].mean(0)
+        inertia = float(((x - centers[labels]) ** 2).sum())
+        return labels, inertia
+
+    def diarize(self, waveform: np.ndarray, sample_rate: int) -> List[Dict]:
+        segments = self._vad.diarize(waveform, sample_rate)
+        if not segments:
+            return segments
+        if self.max_speakers <= 1 or len(segments) < 2:
+            return segments
+
+        embs = np.stack(
+            [
+                self._embedding(
+                    waveform[int(s["start"] * sample_rate) : int(s["end"] * sample_rate)],
+                    sample_rate,
+                )
+                for s in segments
+            ]
+        )
+        k_max = min(self.max_speakers, len(segments))
+        _, base_inertia = self._kmeans(embs, 1)
+        best_labels = None
+        # embeddings are L2-normalized: require real voice diversity before
+        # clustering (same-voice spans have ~0 spread → single speaker)
+        if base_inertia / len(segments) > 1e-3:
+            # smallest k whose clusters explain ≥90% of the embedding
+            # variance (single speaker: no k achieves it → stays 1)
+            for k in range(max(self.min_speakers, 2), k_max + 1):
+                labels, inertia = self._kmeans(embs, k)
+                if inertia <= 0.1 * base_inertia and len(set(labels.tolist())) == k:
+                    best_labels = labels
+                    break
+        if best_labels is None:
+            return segments
+        # stable label order: first-appearance gets SPEAKER_00, etc.
+        remap: Dict[int, str] = {}
+        for lbl in best_labels:
+            if int(lbl) not in remap:
+                remap[int(lbl)] = f"SPEAKER_{len(remap):02d}"
+        for seg, lbl in zip(segments, best_labels):
+            seg["speaker"] = remap[int(lbl)]
+        return segments
+
+
 def make_diarizer(name: str, processing_config) -> Diarizer:
     """Factory keyed by DiarizationConfig.model."""
     if name in ("fixed-window", "fixed"):
         return FixedWindowDiarizer(processing_config.segment_duration)
     if name in ("energy-vad", "vad"):
         return EnergyVADDiarizer(
+            segment_duration=processing_config.segment_duration,
+            min_speech_duration=processing_config.min_speech_duration,
+            min_pause_duration=processing_config.min_pause_duration,
+        )
+    if name in ("clustering", "cluster", "multi-speaker"):
+        return ClusteringDiarizer(
             segment_duration=processing_config.segment_duration,
             min_speech_duration=processing_config.min_speech_duration,
             min_pause_duration=processing_config.min_pause_duration,
