@@ -60,7 +60,10 @@ class StreamingConfig:
 class DiarizationConfig:
     """Mirrors DIARIZATION_CONFIG (reference config.py:67-72)."""
 
-    model: str = "energy-vad"  # pluggable; reference used pyannote
+    # pluggable; reference used pyannote. "clustering" = energy VAD +
+    # MFCC-signature k-means (multi-speaker); degrades to single-speaker
+    # labels when the audio has one voice.
+    model: str = "clustering"
     min_speakers: int = 1
     max_speakers: int = 4
 

@@ -123,6 +123,41 @@ def reference_attention(q, k, v, key_mask):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+# --- differentiable wrapper ---------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def attention_with_vjp(q, k, v, key_mask, interpret=False):
+    """Pallas forward + analytic backward, so the fused kernel is usable in
+    training. The backward recomputes the probability tile in plain XLA
+    (standard softmax-attention gradients); a Pallas backward kernel is the
+    natural next optimization once training moves beyond the fusion MLP."""
+    return fused_attention(q, k, v, key_mask, interpret=interpret)
+
+
+def _attn_fwd(q, k, v, key_mask, interpret=False):
+    out = fused_attention(q, k, v, key_mask, interpret=interpret)
+    return out, (q, k, v, key_mask)
+
+
+def _attn_bwd(interpret, res, g):
+    q, k, v, key_mask = res
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    s = s + jnp.where(key_mask[:, None, None, :] > 0, 0.0, -1e9)
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32).astype(v.dtype)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)).astype(q.dtype)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)).astype(k.dtype)
+    return dq, dk, dv, jnp.zeros_like(key_mask)
+
+
+attention_with_vjp.defvjp(_attn_fwd, _attn_bwd)
+
+
 # --- blockwise flash attention (online softmax) ------------------------------
 #
 # For long sequences the single-pass kernel above would need the whole K/V in

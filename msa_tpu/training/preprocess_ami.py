@@ -151,3 +151,32 @@ class AMIPreprocessor:
             out.write_text(json.dumps(segs, indent=2))
             logger.info("wrote %d segments to %s", len(segs), out)
         return {k: len(v) for k, v in splits.items()}
+
+
+def main(argv=None):
+    """CLI mirroring the reference preprocessor's main
+    (preprocess_ami.py:147-158)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Pré-processa o dataset AMI")
+    parser.add_argument("--ami-dir", default="data/ami_raw")
+    parser.add_argument("--output-dir", default="data/ami")
+    parser.add_argument(
+        "--real-extraction",
+        action="store_true",
+        help="run the full segment pipeline per meeting (default: placeholder)",
+    )
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    models = None
+    if args.real_extraction:
+        from msa_tpu.pipeline.graph import PipelineModels
+
+        models = PipelineModels.initialize()
+    counts = AMIPreprocessor(args.ami_dir, args.output_dir, models=models).process()
+    logger.info("splits: %s", counts)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -239,3 +239,35 @@ def train(
             )
 
     return params, history
+
+
+def main(argv=None):
+    """CLI mirroring the reference trainer's main
+    (train_fusion_model.py:138-174)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Treina o modelo de fusão")
+    parser.add_argument("--data-dir", default="data/ami")
+    parser.add_argument("--checkpoint-dir", default="checkpoints")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--learning-rate", type=float, default=1e-4)
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--patience", type=int, default=10)
+    parser.add_argument("--resume", action="store_true")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    _, history = train(
+        data_dir=args.data_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        num_epochs=args.epochs,
+        patience=args.patience,
+        resume=args.resume,
+    )
+    logger.info("final val loss: %.4f", history["val_loss"][-1])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -84,3 +84,33 @@ def test_flash_attention_long_sequence(rng):
     got = np.asarray(flash_attention(q, k, v, mask, interpret=True))
     want = np.asarray(reference_attention(q, k, v, mask))
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_attention_vjp_matches_autodiff(rng):
+    """Custom VJP gradients == autodiff through the reference XLA path."""
+    import jax
+
+    from msa_tpu.ops.pallas.attention import attention_with_vjp
+
+    b, h, t, d = 1, 2, 128, 128
+    q = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+    mask[0, 100:] = 0.0
+
+    def loss_pallas(q, k, v):
+        return jnp_sum(attention_with_vjp(q, k, v, mask, True))
+
+    def loss_ref(q, k, v):
+        return jnp_sum(reference_attention(q, k, v, mask))
+
+    import jax.numpy as jnp
+
+    def jnp_sum(x):
+        return jnp.sum(x * jnp.arange(d, dtype=jnp.float32))  # non-uniform g
+
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pallas, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
