@@ -17,7 +17,7 @@ import logging
 import os
 from pathlib import Path
 
-from msa_tpu.core.config import ModelConfig, SystemConfig
+from msa_tpu.core.config import SystemConfig
 from msa_tpu.utils import create_directories, setup_logging
 
 logger = logging.getLogger(__name__)

@@ -78,15 +78,22 @@ class ConvFeatureExtractor(nn.Module):
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
         """[B, T] → [B, T', C]; GroupNorm after the first conv, GELU after
-        each (wav2vec2 convention)."""
-        x = wav[..., None]  # [B, T, 1]
+        each (wav2vec2 convention). Convs run in the encoder compute dtype
+        (bf16 in production — they are ~1.6 TFLOP per 64-segment batch and
+        MXU-bound); GroupNorm stays f32."""
+        dtype = jnp.dtype(self.cfg.encoder.compute_dtype)
+        x = wav[..., None].astype(dtype)  # [B, T, 1]
         c = self.cfg
         for i, (ch, k, s) in enumerate(
             zip(c.conv_channels, c.conv_kernels, c.conv_strides)
         ):
-            x = nn.Conv(ch, (k,), strides=(s,), padding="VALID", name=f"conv_{i}")(x)
+            x = nn.Conv(
+                ch, (k,), strides=(s,), padding="VALID", dtype=dtype, name=f"conv_{i}"
+            )(x)
             if i == 0:
-                x = nn.GroupNorm(num_groups=min(ch, 8), name="gn")(x)
+                x = nn.GroupNorm(num_groups=min(ch, 8), name="gn")(
+                    x.astype(jnp.float32)
+                ).astype(dtype)
             x = nn.gelu(x, approximate=False)
         return x
 

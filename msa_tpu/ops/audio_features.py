@@ -45,14 +45,45 @@ SAMPLE_RATE = 16_000
 
 
 def frame_signal(x: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
-    """[T] → [num_frames, frame_len] sliding windows (static shapes).
-
-    Equivalent to the reference's unfold framing (audio_analyzer.py:245-249).
-    """
+    """[..., T] → [..., num_frames, frame_len] sliding windows (static
+    shapes). Equivalent to the reference's unfold framing
+    (audio_analyzer.py:245-249). Gather-based: only used where the actual
+    frame contents are needed (FFT); pure energy windows use
+    :func:`windowed_energy`, which never materializes frames.
+    (Measured: ``conv_general_dilated_patches`` lowers to a dense
+    frame_len-channel conv and is ~4.6× slower here.)"""
     t = x.shape[-1]
     num_frames = 1 + (t - frame_len) // hop
     idx = jnp.arange(num_frames)[:, None] * hop + jnp.arange(frame_len)[None, :]
     return x[..., idx]
+
+
+def windowed_energy(x: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
+    """Σ x² per sliding window without materializing frames: a 1-channel
+    ones-kernel conv over x² ([..., T] → [..., num_frames]). Exactly the
+    per-window energies the reference computes via unfold+sum
+    (audio_analyzer.py:245-250), at O(T·frame_len/hop) conv cost instead of
+    an O(T·frame_len) gather."""
+    if hop == frame_len:
+        # non-overlapping: a plain reshape+sum (consistency's 100 ms case)
+        t = x.shape[-1]
+        n = t // frame_len
+        return jnp.sum(
+            x[..., : n * frame_len].reshape(*x.shape[:-1], n, frame_len) ** 2,
+            axis=-1,
+        )
+    lead = x.shape[:-1]
+    t = x.shape[-1]
+    sq = (x * x).reshape(-1, t, 1)
+    ones = jnp.ones((frame_len, 1, 1), x.dtype)
+    e = jax.lax.conv_general_dilated(
+        sq,
+        ones,
+        window_strides=(hop,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return e.reshape(*lead, -1)
 
 
 # --- mel / MFCC --------------------------------------------------------------
@@ -193,8 +224,7 @@ def intensity_windowed(
     x: jnp.ndarray, frame_len: int = 400, hop: int = 160
 ) -> jnp.ndarray:
     """Repair mode: z-scored mean frame energy — a real loudness scalar."""
-    frames = frame_signal(x, frame_len, hop)
-    energy = jnp.sum(jnp.square(frames), axis=-1)
+    energy = windowed_energy(x, frame_len, hop)
     return jnp.mean(zscore(energy))
 
 
@@ -219,8 +249,7 @@ def speech_rate_framed(
 ) -> jnp.ndarray:
     """Repair mode: fraction of frames whose energy exceeds 0.1× the mean
     frame energy — the formula the reference intended."""
-    frames = frame_signal(x, frame_len, hop)
-    energy = jnp.sum(jnp.square(frames), axis=-1)
+    energy = windowed_energy(x, frame_len, hop)
     return jnp.mean((energy > 0.1 * jnp.mean(energy)).astype(jnp.float32))
 
 
@@ -238,8 +267,7 @@ def rhythm(
     formula kept for parity)."""
     frame_len = int(window_size * sample_rate)
     hop = int(hop_length * sample_rate)
-    frames = frame_signal(x, frame_len, hop)  # [frames, frame_len]
-    energy = jnp.sum(jnp.square(frames), axis=-1)  # [frames]
+    energy = windowed_energy(x, frame_len, hop)  # [frames]
     n = energy.shape[0]
     mean = jnp.mean(energy)
     std = jnp.sqrt(jnp.sum(jnp.square(energy - mean)) / jnp.maximum(n - 1, 1))
@@ -275,8 +303,7 @@ def consistency(x: jnp.ndarray, sample_rate: int = SAMPLE_RATE) -> jnp.ndarray:
     """1 − min(CV, 1) of 100 ms non-overlapping segment energies
     (audio_analyzer.py:313-329); CV uses torch-unbiased std."""
     seg = int(0.1 * sample_rate)
-    frames = frame_signal(x, seg, seg)  # [segments, seg]
-    energy = jnp.mean(jnp.square(frames), axis=-1)
+    energy = windowed_energy(x, seg, seg) / seg  # mean energy per segment
     n = energy.shape[0]
     mean = jnp.mean(energy)
     std = jnp.sqrt(jnp.sum(jnp.square(energy - mean)) / jnp.maximum(n - 1, 1))

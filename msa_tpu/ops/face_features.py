@@ -21,7 +21,7 @@ previous frame's landmarks in.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -18,7 +18,6 @@ import dataclasses
 import json
 import logging
 from pathlib import Path
-from typing import Any, Tuple
 
 import flax.serialization
 

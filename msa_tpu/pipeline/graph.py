@@ -329,6 +329,10 @@ class SegmentPipeline:
     def _audio_branch(self, params, audio, audio_avail):
         m = self.models
         sr = self.config.audio.sample_rate
+        # audio may arrive as int16 PCM (native WAV precision, 2× less
+        # host→device transfer); normalize on device
+        if audio.dtype == jnp.int16:
+            audio = audio.astype(jnp.float32) / 32768.0
         emo8 = m.audio.apply({"params": params["audio"]}, audio)["emotion_probs"]
         dsp, quality = jax.vmap(
             lambda w: AF.audio_feature_stack(w, sr, self.config.audio.pitch_mode)

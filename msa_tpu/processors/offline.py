@@ -23,7 +23,6 @@ feature-assembly path, as SURVEY §2.11 directs.
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 from typing import Any, Callable, Dict, List, Optional
@@ -234,7 +233,12 @@ class OfflineProcessor:
 
                     starts = np.asarray([int(s["start"] * sr) for s in batch], np.int64)
                     ends = np.asarray([int(s["end"] * sr) for s in batch], np.int64)
-                    inp.audio = slice_windows(waveform, starts, ends, samples)
+                    windows = slice_windows(waveform, starts, ends, samples)
+                    # ship as int16 PCM (the WAV's native precision): half
+                    # the transfer, converted back on device
+                    inp.audio = np.clip(windows * 32768.0, -32768, 32767).astype(
+                        np.int16
+                    )
                 for i, seg in enumerate(batch):
                     inp.frames[i] = preprocess_frame(frames[i], size)
                     if not audio_avail:

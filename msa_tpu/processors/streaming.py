@@ -24,7 +24,6 @@ from typing import Callable, Dict, List, Optional, Protocol
 
 import numpy as np
 
-from msa_tpu.core import emotions
 from msa_tpu.core.config import SystemConfig
 from msa_tpu.core.schema import (
     EMPTY_STREAMING_OUTPUT,

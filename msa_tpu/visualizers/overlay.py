@@ -12,7 +12,7 @@ the frame untouched otherwise (headless-safe).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
