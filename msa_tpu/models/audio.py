@@ -12,9 +12,10 @@ TPU-first notes:
   downsampled ×320 → 250 frames; everything stays on-device, no host DSP.
 - the transformer reuses :mod:`msa_tpu.models.transformer` so the tensor-
   parallel PartitionSpec rules apply unchanged.
-- positional information uses a fixed sinusoidal table (the original conv
-  positional embedding is an architectural detail, not a capability; a
-  pretrained-weight import would add it alongside).
+- the default architecture is wav2vec2-base-compatible (grouped conv
+  positional embedding, instance-norm extractor, post-LN encoder):
+  :func:`params_from_hf_wav2vec2` imports pretrained trunks bit-compatibly
+  (equivalence-tested against transformers.Wav2Vec2Model).
 """
 
 from __future__ import annotations
@@ -43,6 +44,11 @@ class AudioModelConfig:
     conv_strides: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
     num_classes: int = 4  # IEMOCAP (neutral/angry/happy/sad)
     pool_hidden: int = 128
+    # "conv" = wav2vec2's grouped conv positional embedding (kernel 128,
+    # 16 groups, weight import compatible); "sinusoidal" = fixed table
+    positional: str = "conv"
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
     encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
 
     @classmethod
@@ -52,6 +58,7 @@ class AudioModelConfig:
             conv_kernels=(10, 8),
             conv_strides=(5, 4),
             pool_hidden=8,
+            positional="sinusoidal",
             encoder=EncoderConfig.tiny(),
         )
 
@@ -88,14 +95,46 @@ class ConvFeatureExtractor(nn.Module):
             zip(c.conv_channels, c.conv_kernels, c.conv_strides)
         ):
             x = nn.Conv(
-                ch, (k,), strides=(s,), padding="VALID", dtype=dtype, name=f"conv_{i}"
+                ch,
+                (k,),
+                strides=(s,),
+                padding="VALID",
+                use_bias=False,  # wav2vec2 extractor convs have no bias
+                dtype=dtype,
+                name=f"conv_{i}",
             )(x)
             if i == 0:
-                x = nn.GroupNorm(num_groups=min(ch, 8), name="gn")(
+                # wav2vec2 uses GroupNorm with num_groups == channels
+                # (per-channel instance norm)
+                x = nn.GroupNorm(num_groups=ch, epsilon=1e-5, use_fast_variance=False, name="gn")(
                     x.astype(jnp.float32)
                 ).astype(dtype)
             x = nn.gelu(x, approximate=False)
         return x
+
+
+class ConvPositionalEmbedding(nn.Module):
+    """wav2vec2's grouped convolutional positional embedding: Conv1d over
+    time (kernel 128, 16 groups, SAME-ish padding trimmed by one) + GELU,
+    added to the hidden states."""
+
+    d_model: int
+    kernel: int = 128
+    groups: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.kernel // 2
+        h = nn.Conv(
+            self.d_model,
+            (self.kernel,),
+            padding=[(pad, pad)],
+            feature_group_count=self.groups,
+            name="conv",
+        )(x)
+        if self.kernel % 2 == 0:
+            h = h[:, :-1, :]  # torch pad=k/2 with even k → one extra frame
+        return nn.gelu(h, approximate=False)
 
 
 class AudioEmotionModel(nn.Module):
@@ -107,10 +146,18 @@ class AudioEmotionModel(nn.Module):
     ) -> Dict[str, jnp.ndarray]:
         c = self.cfg
         feats = ConvFeatureExtractor(c, name="feature_extractor")(wav)
-        feats = nn.LayerNorm(name="post_extract_ln")(feats)
+        feats = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="post_extract_ln")(feats)
         x = nn.Dense(c.encoder.d_model, name="proj")(feats)
-        pos = jnp.asarray(sinusoidal_positions(x.shape[1], c.encoder.d_model))
-        x = x + pos[None]
+        if c.positional == "conv":
+            # wav2vec2 encoder prologue: x += pos_conv(x); LayerNorm
+            x = x + ConvPositionalEmbedding(
+                c.encoder.d_model, c.pos_conv_kernel, c.pos_conv_groups,
+                name="pos_conv",
+            )(x)
+            x = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="encoder_pre_ln")(x.astype(jnp.float32))
+        else:
+            pos = jnp.asarray(sinusoidal_positions(x.shape[1], c.encoder.d_model))
+            x = x + pos[None]
         hidden = TransformerEncoder(c.encoder, name="encoder")(
             x, None, deterministic
         )
@@ -131,3 +178,102 @@ class AudioEmotionModel(nn.Module):
 def init_params(model: AudioEmotionModel, seed: int = 0, samples: int = 8000) -> Any:
     wav = jnp.zeros((1, samples), jnp.float32)
     return model.init(jax.random.PRNGKey(seed), wav)["params"]
+
+
+# --- HF weight import ---------------------------------------------------------
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def _weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Reconstruct torch weight-norm: w = g · v/‖v‖, norm over the axes where
+    g is singleton (wav2vec2 uses dim=2)."""
+    axes = tuple(i for i, s in enumerate(g.shape) if s == 1)
+    norm = np.sqrt((v**2).sum(axis=axes, keepdims=True))
+    return g * v / norm
+
+
+def params_from_hf_wav2vec2(state_dict, cfg: AudioModelConfig):
+    """Convert a ``transformers`` Wav2Vec2Model state dict into this
+    encoder's trunk params (extractor + projection + conv positional
+    embedding + transformer). Pooling/classifier heads are task-specific and
+    stay randomly initialized, exactly like the reference's SpeechBrain
+    classifier head over a pretrained wav2vec2 trunk
+    (audio_analyzer.py:33-39)."""
+    sd = state_dict
+    p = {"feature_extractor": {}, "encoder": {}}
+    for i in range(len(cfg.conv_channels)):
+        w = _t(sd[f"feature_extractor.conv_layers.{i}.conv.weight"])
+        # torch conv1d [out, in, k] → flax [k, in, out]
+        p["feature_extractor"][f"conv_{i}"] = {"kernel": w.transpose(2, 1, 0)}
+    p["feature_extractor"]["gn"] = {
+        "scale": _t(sd["feature_extractor.conv_layers.0.layer_norm.weight"]),
+        "bias": _t(sd["feature_extractor.conv_layers.0.layer_norm.bias"]),
+    }
+    p["post_extract_ln"] = {
+        "scale": _t(sd["feature_projection.layer_norm.weight"]),
+        "bias": _t(sd["feature_projection.layer_norm.bias"]),
+    }
+    p["proj"] = {
+        "kernel": _t(sd["feature_projection.projection.weight"]).T,
+        "bias": _t(sd["feature_projection.projection.bias"]),
+    }
+    # conv positional embedding (weight-normed in torch)
+    pc = "encoder.pos_conv_embed.conv."
+    if pc + "weight_g" in sd:
+        w = _weight_norm(_t(sd[pc + "weight_g"]), _t(sd[pc + "weight_v"]))
+    elif pc + "parametrizations.weight.original0" in sd:
+        w = _weight_norm(
+            _t(sd[pc + "parametrizations.weight.original0"]),
+            _t(sd[pc + "parametrizations.weight.original1"]),
+        )
+    else:
+        w = _t(sd[pc + "weight"])
+    p["pos_conv"] = {
+        "conv": {"kernel": w.transpose(2, 1, 0), "bias": _t(sd[pc + "bias"])}
+    }
+    p["encoder_pre_ln"] = {
+        "scale": _t(sd["encoder.layer_norm.weight"]),
+        "bias": _t(sd["encoder.layer_norm.bias"]),
+    }
+    for i in range(cfg.encoder.num_layers):
+        hf = f"encoder.layers.{i}."
+        p["encoder"][f"layer_{i}"] = {
+            "attention": {
+                "query": {
+                    "kernel": _t(sd[hf + "attention.q_proj.weight"]).T,
+                    "bias": _t(sd[hf + "attention.q_proj.bias"]),
+                },
+                "key": {
+                    "kernel": _t(sd[hf + "attention.k_proj.weight"]).T,
+                    "bias": _t(sd[hf + "attention.k_proj.bias"]),
+                },
+                "value": {
+                    "kernel": _t(sd[hf + "attention.v_proj.weight"]).T,
+                    "bias": _t(sd[hf + "attention.v_proj.bias"]),
+                },
+                "attn_out": {
+                    "kernel": _t(sd[hf + "attention.out_proj.weight"]).T,
+                    "bias": _t(sd[hf + "attention.out_proj.bias"]),
+                },
+            },
+            "attn_ln": {
+                "scale": _t(sd[hf + "layer_norm.weight"]),
+                "bias": _t(sd[hf + "layer_norm.bias"]),
+            },
+            "fc_in": {
+                "kernel": _t(sd[hf + "feed_forward.intermediate_dense.weight"]).T,
+                "bias": _t(sd[hf + "feed_forward.intermediate_dense.bias"]),
+            },
+            "fc_out": {
+                "kernel": _t(sd[hf + "feed_forward.output_dense.weight"]).T,
+                "bias": _t(sd[hf + "feed_forward.output_dense.bias"]),
+            },
+            "ffn_ln": {
+                "scale": _t(sd[hf + "final_layer_norm.weight"]),
+                "bias": _t(sd[hf + "final_layer_norm.bias"]),
+            },
+        }
+    return p

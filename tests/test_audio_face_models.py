@@ -84,3 +84,66 @@ def test_rgb_to_gray():
     rgb[..., 0] = 1.0
     gray = np.asarray(FM.rgb_to_gray(rgb))
     np.testing.assert_allclose(gray, 0.299, atol=1e-6)
+
+
+def test_audio_trunk_matches_hf_wav2vec2(rng):
+    """Convert a random-init transformers Wav2Vec2Model's weights and require
+    the hidden states to match within 1e-4 (the audio counterpart of the BERT
+    import test — pretrained trunks drop in when checkpoints are available)."""
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from msa_tpu.models.audio import params_from_hf_wav2vec2
+    from msa_tpu.models.transformer import EncoderConfig
+
+    cfg = AM.AudioModelConfig(
+        conv_channels=(8, 8),
+        conv_kernels=(10, 8),
+        conv_strides=(5, 4),
+        pool_hidden=8,
+        positional="conv",
+        pos_conv_kernel=16,
+        pos_conv_groups=2,
+        encoder=EncoderConfig(
+            num_layers=2, d_model=32, num_heads=2, d_ff=64, layer_norm_eps=1e-5
+        ),
+    )
+    hf_cfg = transformers.Wav2Vec2Config(
+        conv_dim=(8, 8),
+        conv_kernel=(10, 8),
+        conv_stride=(5, 4),
+        num_feat_extract_layers=2,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=64,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=2,
+        feat_extract_norm="group",
+        do_stable_layer_norm=False,
+        hidden_act="gelu",
+        feat_extract_activation="gelu",
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    hf = transformers.Wav2Vec2Model(hf_cfg)
+    hf.eval()
+
+    model = AM.AudioEmotionModel(cfg)
+    params = AM.init_params(model, samples=4000)
+    trunk = params_from_hf_wav2vec2(hf.state_dict(), cfg)
+    merged = dict(params)
+    for k, v in trunk.items():
+        merged[k] = v
+
+    wav = (0.1 * rng.normal(size=(2, 4000))).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(wav)).last_hidden_state.numpy()
+    got = np.asarray(model.apply({"params": merged}, wav)["hidden"])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4)
