@@ -121,6 +121,7 @@ class ConvPositionalEmbedding(nn.Module):
     d_model: int
     kernel: int = 128
     groups: int = 16
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -130,6 +131,7 @@ class ConvPositionalEmbedding(nn.Module):
             (self.kernel,),
             padding=[(pad, pad)],
             feature_group_count=self.groups,
+            dtype=jnp.dtype(self.compute_dtype),
             name="conv",
         )(x)
         if self.kernel % 2 == 0:
@@ -151,7 +153,10 @@ class AudioEmotionModel(nn.Module):
         if c.positional == "conv":
             # wav2vec2 encoder prologue: x += pos_conv(x); LayerNorm
             x = x + ConvPositionalEmbedding(
-                c.encoder.d_model, c.pos_conv_kernel, c.pos_conv_groups,
+                c.encoder.d_model,
+                c.pos_conv_kernel,
+                c.pos_conv_groups,
+                c.encoder.compute_dtype,
                 name="pos_conv",
             )(x)
             x = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="encoder_pre_ln")(x.astype(jnp.float32))

@@ -39,6 +39,10 @@ class EncoderConfig:
     # "pallas" = fused VMEM attention kernel (inference hot path on TPU,
     # interpret-mode on CPU). See msa_tpu.ops.pallas.attention.
     attention_impl: str = "einsum"
+    # rematerialize each layer in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for O(layers) → O(1) activation memory when
+    # training the encoders at scale
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -133,8 +137,14 @@ class TransformerEncoder(nn.Module):
             mask_bias = jnp.where(
                 attention_mask[:, None, None, :] > 0, 0.0, -1e9
             ).astype(jnp.float32)
+        layer_cls = (
+            # static_argnums counts self: (self, x, mask_bias, deterministic)
+            nn.remat(EncoderLayer, static_argnums=(3,))
+            if self.cfg.remat
+            else EncoderLayer
+        )
         for i in range(self.cfg.num_layers):
-            x = EncoderLayer(self.cfg, name=f"layer_{i}")(
+            x = layer_cls(self.cfg, name=f"layer_{i}")(
                 x, mask_bias, deterministic
             )
         return x

@@ -205,8 +205,15 @@ class OfflineProcessor:
                 for seg in batch:
                     if audio_avail:
                         clip = waveform[int(seg["start"] * sr) : int(seg["end"] * sr)]
-                        with self.timer.stage("transcribe"):
-                            text = self.transcriber.transcribe(clip, sr)
+                        try:
+                            with self.timer.stage("transcribe"):
+                                text = self.transcriber.transcribe(clip, sr)
+                        except Exception as e:
+                            # degradation contract: transcription failure →
+                            # empty transcript → default text analysis
+                            # (reference offline_processor.py:204-208)
+                            logger.warning("transcription failed: %s", e)
+                            text = ""
                     else:
                         text = ""
                     transcripts.append(text)

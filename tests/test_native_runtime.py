@@ -83,3 +83,33 @@ def test_ring_buffer_threaded_producer():
             break
     t.join()
     assert collected == total
+
+
+def test_ring_buffer_under_thread_sanitizer(tmp_path):
+    """Race detection (SURVEY §5): build the SPSC ring + stress harness with
+    -fsanitize=thread and require a clean run (no TSan reports, all samples
+    in order)."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    if not shutil.which("g++"):
+        pytest.skip("no g++")
+    native = Path("msa_tpu/runtime/native")
+    binary = tmp_path / "ring_tsan"
+    build = subprocess.run(
+        [
+            "g++", "-O1", "-g", "-std=c++17", "-fsanitize=thread",
+            str(native / "ring_stress.cpp"), str(native / "msa_runtime.cpp"),
+            "-o", str(binary), "-lpthread",
+        ],
+        capture_output=True,
+        timeout=180,
+    )
+    if build.returncode != 0:
+        pytest.skip(f"tsan build unavailable: {build.stderr.decode()[:200]}")
+    run = subprocess.run([str(binary)], capture_output=True, timeout=300)
+    stderr = run.stderr.decode()
+    assert "ThreadSanitizer" not in stderr, stderr[:2000]
+    assert run.returncode == 0, (run.stdout.decode(), stderr[:2000])
+    assert b"OK" in run.stdout

@@ -139,3 +139,31 @@ def test_tokenizer_wordpiece_with_vocab(tmp_path):
     # unknown word → UNK
     ids2, _ = tok.encode("xyz", max_length=8)
     assert ids2[1] == 1
+
+
+def test_remat_gradients_match(tiny_model, rng):
+    """jax.checkpoint rematerialization must not change values or grads."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from msa_tpu.models.transformer import TransformerEncoder
+
+    cfg, _, _ = tiny_model
+    enc_cfg = cfg.encoder
+    x = rng.normal(size=(2, 12, enc_cfg.d_model)).astype(np.float32)
+    mask = np.ones((2, 12), np.int32)
+
+    enc = TransformerEncoder(enc_cfg)
+    params = enc.init(jax.random.PRNGKey(0), x, mask)["params"]
+    enc_remat = TransformerEncoder(dataclasses.replace(enc_cfg, remat=True))
+
+    def loss(e, p):
+        return jnp.sum(e.apply({"params": p}, x, mask) ** 2)
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(enc, p))(params)
+    v2, g2 = jax.value_and_grad(lambda p: loss(enc_remat, p))(params)
+    assert float(v1) == pytest.approx(float(v2), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
