@@ -409,15 +409,19 @@ class StreamingProcessor:
         callback: Optional[Callable[[Dict], None]] = None,
         max_segments: Optional[int] = None,
         time_fn: Callable[[], float] = time.monotonic,
+        record_path: Optional[str] = None,
     ):
         """Capture loop (reference streaming_processor.py:379-459). Extra
         testability knobs: ``max_segments`` stops after N windows;
         ``time_fn`` makes pacing injectable. With synthetic sources the loop
-        ends when the frame source is exhausted."""
+        ends when the frame source is exhausted. ``record_path`` writes the
+        captured video (the reference records to temp_stream.mp4,
+        streaming_processor.py:140-147)."""
         self.start_capture()
         start = time_fn()
         video_buffer: List[np.ndarray] = []
         segments_done = 0
+        writer = None
         try:
             while self.is_running:
                 frame = self.frame_source.read()
@@ -426,6 +430,18 @@ class StreamingProcessor:
                         break
                     logger.warning("frame capture failed")
                     continue
+                if record_path:
+                    if writer is None:
+                        import cv2
+
+                        h, w = frame.shape[:2]
+                        writer = cv2.VideoWriter(
+                            record_path,
+                            cv2.VideoWriter_fourcc(*"mp4v"),
+                            30.0,
+                            (w, h),
+                        )
+                    writer.write(frame)
                 if len(video_buffer) >= self.MAX_VIDEO_BUFFER:
                     video_buffer.pop(0)
                 video_buffer.append(frame)
@@ -455,4 +471,6 @@ class StreamingProcessor:
         except KeyboardInterrupt:
             logger.info("interrupted by user")
         finally:
+            if writer is not None:
+                writer.release()
             self.stop_capture()

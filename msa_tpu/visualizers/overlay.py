@@ -147,3 +147,29 @@ class StreamingVisualizer:
                 2,
             )
         return out
+
+    def draw_emotion_bars(
+        self, frame: np.ndarray, probs, origin: Tuple[int, int] = (8, 8),
+        width: int = 80, height: int = 10,
+    ) -> np.ndarray:
+        """Horizontal per-emotion probability bars — the reference ships an
+        equivalent helper (streaming_visualizer.py:112-176)."""
+        if self._cv2 is None:
+            return frame
+        cv2 = self._cv2
+        out = frame.copy()
+        probs = np.asarray(probs).reshape(-1)[:7]
+        x0, y0 = origin
+        for i, (label, p) in enumerate(zip(PT_EMOTIONS, probs)):
+            y = y0 + i * (height + 4)
+            cv2.rectangle(out, (x0, y), (x0 + width, y + height), (64, 64, 64), 1)
+            fill = int(max(0.0, min(float(p), 1.0)) * width)
+            cv2.rectangle(
+                out, (x0, y), (x0 + fill, y + height),
+                PT_COLORS.get(label, (255, 255, 255)), -1,
+            )
+            cv2.putText(
+                out, label, (x0 + width + 6, y + height),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.35, (220, 220, 220), 1,
+            )
+        return out

@@ -253,3 +253,34 @@ def test_export_speaker_analysis_readme_schema(rng):
     assert abs(sum(s["fused_analysis"]["emotion_probs"]) - 1.0) < 1e-6
     assert 0.0 <= report["average_confidence"] <= 1.0
     assert report["emotion_timeline"][0]["emotion"] == "feliz"
+
+
+def test_streaming_records_video(tmp_path, tiny_models):
+    cv2 = pytest.importorskip("cv2")
+    cfg = _tiny_config(tmp_path)
+    proc = StreamingProcessor(
+        config=cfg,
+        models=tiny_models,
+        frame_source=SyntheticFrameSource(40, 48, 64),
+        audio_source=SyntheticAudioSource(chunk_seconds=0.25),
+    )
+    record = tmp_path / "rec.mp4"
+    proc.run(duration=0.01, callback=lambda r: None, max_segments=1,
+             record_path=str(record))
+    assert record.exists() and record.stat().st_size > 0
+    cap = cv2.VideoCapture(str(record))
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) > 0
+    cap.release()
+
+
+def test_visualizer_emotion_bars(tiny_models):
+    pytest.importorskip("cv2")
+    from msa_tpu.visualizers.overlay import StreamingVisualizer
+
+    vis = StreamingVisualizer()
+    frame = np.zeros((200, 200, 3), np.uint8)
+    probs = np.asarray([0.5, 0.1, 0.1, 0.1, 0.1, 0.05, 0.05])
+    out = vis.draw_emotion_bars(frame, probs)
+    assert out.shape == frame.shape
+    assert (out != frame).any()
