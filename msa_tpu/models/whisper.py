@@ -1,0 +1,372 @@
+"""Whisper-style speech-to-text — JAX encoder-decoder with KV-cached decode.
+
+The reference intended openai/whisper-medium for transcription
+(reference ``src/config/config.py:75-79``) but wired a BERT checkpoint into
+the ASR pipeline (defect D3) so transcripts were always "". This module is
+the real TPU-native transcriber capability:
+
+- encoder: 2-conv stem (stride 1, 2) + sinusoidal positions + pre-LN blocks
+  + final LayerNorm — the Whisper encoder architecture
+- decoder: learned positions, pre-LN blocks with causal self-attention and
+  cross-attention, logits tied to the token embedding
+- greedy decoding as ONE jitted ``lax.scan`` with a static step count and a
+  per-layer KV cache updated by ``dynamic_update_slice`` — the canonical
+  TPU decode pattern (no Python loop, no retracing); cross-attention K/V are
+  projected once per utterance
+- :func:`params_from_hf_whisper` imports ``transformers.WhisperModel``
+  weights (teacher-forced logits equivalence-tested), so real pretrained
+  Whisper checkpoints drop in where the environment has them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    d_model: int = 512  # whisper-base
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    num_heads: int = 8
+    d_ff: int = 2048
+    vocab_size: int = 51865
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    eos_token_id: int = 50257
+    decoder_start_token_id: int = 50258
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    @classmethod
+    def tiny(cls) -> "WhisperConfig":
+        return cls(
+            n_mels=8,
+            d_model=32,
+            encoder_layers=2,
+            decoder_layers=2,
+            num_heads=2,
+            d_ff=64,
+            vocab_size=100,
+            max_source_positions=64,
+            max_target_positions=16,
+            eos_token_id=3,
+            decoder_start_token_id=2,
+        )
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's sinusoidal position table (log-scale timescales)."""
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(
+        np.float32
+    )
+
+
+def _ln(name: str) -> nn.LayerNorm:
+    return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name=name)
+
+
+class Attention(nn.Module):
+    """Whisper attention: q/v/out have biases, k does not."""
+
+    cfg: WhisperConfig
+
+    def setup(self):
+        c = self.cfg
+        self.q_proj = nn.Dense(c.d_model, name="q_proj")
+        self.k_proj = nn.Dense(c.d_model, use_bias=False, name="k_proj")
+        self.v_proj = nn.Dense(c.d_model, name="v_proj")
+        self.out_proj = nn.Dense(c.d_model, name="out_proj")
+
+    def kv(self, kv_in: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.k_proj(kv_in), self.v_proj(kv_in)
+
+    def attend(self, q_in, k, v, mask_bias=None):
+        c = self.cfg
+        b, tq = q_in.shape[0], q_in.shape[1]
+        tk = k.shape[1]
+        q = self.q_proj(q_in).reshape(b, tq, c.num_heads, c.head_dim)
+        kh = k.reshape(b, tk, c.num_heads, c.head_dim)
+        vh = v.reshape(b, tk, c.num_heads, c.head_dim)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, kh).astype(jnp.float32)
+        s = s / np.sqrt(c.head_dim)
+        if mask_bias is not None:
+            s = s + mask_bias
+        p = jax.nn.softmax(s, axis=-1).astype(q_in.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b, tq, c.d_model)
+        return self.out_proj(out)
+
+    def __call__(self, q_in, kv_in=None, mask_bias=None):
+        kv_in = q_in if kv_in is None else kv_in
+        k, v = self.kv(kv_in)
+        return self.attend(q_in, k, v, mask_bias)
+
+
+class EncoderBlock(nn.Module):
+    cfg: WhisperConfig
+
+    def setup(self):
+        self.self_attn = Attention(self.cfg, name="self_attn")
+        self.self_attn_layer_norm = _ln("self_attn_layer_norm")
+        self.fc1 = nn.Dense(self.cfg.d_ff, name="fc1")
+        self.fc2 = nn.Dense(self.cfg.d_model, name="fc2")
+        self.final_layer_norm = _ln("final_layer_norm")
+
+    def __call__(self, x):
+        x = x + self.self_attn(self.self_attn_layer_norm(x))
+        m = self.fc1(self.final_layer_norm(x))
+        return x + self.fc2(nn.gelu(m, approximate=False))
+
+
+class WhisperEncoder(nn.Module):
+    cfg: WhisperConfig
+
+    def setup(self):
+        c = self.cfg
+        self.conv1 = nn.Conv(c.d_model, (3,), padding=[(1, 1)], name="conv1")
+        self.conv2 = nn.Conv(
+            c.d_model, (3,), strides=(2,), padding=[(1, 1)], name="conv2"
+        )
+        self.layers = [
+            EncoderBlock(c, name=f"layer_{i}") for i in range(c.encoder_layers)
+        ]
+        self.layer_norm = _ln("layer_norm")
+
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """mel: [B, T_frames, n_mels] → [B, ceil(T/2), d_model]."""
+        x = nn.gelu(self.conv1(mel), approximate=False)
+        x = nn.gelu(self.conv2(x), approximate=False)
+        pos = jnp.asarray(_sinusoids(self.cfg.max_source_positions, self.cfg.d_model))
+        x = x + pos[: x.shape[1]][None]
+        for layer in self.layers:
+            x = layer(x)
+        return self.layer_norm(x)
+
+
+class DecoderBlock(nn.Module):
+    cfg: WhisperConfig
+
+    def setup(self):
+        c = self.cfg
+        self.self_attn = Attention(c, name="self_attn")
+        self.self_attn_layer_norm = _ln("self_attn_layer_norm")
+        self.encoder_attn = Attention(c, name="encoder_attn")
+        self.encoder_attn_layer_norm = _ln("encoder_attn_layer_norm")
+        self.fc1 = nn.Dense(c.d_ff, name="fc1")
+        self.fc2 = nn.Dense(c.d_model, name="fc2")
+        self.final_layer_norm = _ln("final_layer_norm")
+
+    def _mlp(self, x):
+        m = self.fc1(self.final_layer_norm(x))
+        return x + self.fc2(nn.gelu(m, approximate=False))
+
+    def __call__(self, x, cross_k, cross_v, causal_bias):
+        x = x + self.self_attn(self.self_attn_layer_norm(x), mask_bias=causal_bias)
+        x = x + self.encoder_attn.attend(
+            self.encoder_attn_layer_norm(x), cross_k, cross_v
+        )
+        return self._mlp(x)
+
+    def cross_kv(self, enc_out):
+        return self.encoder_attn.kv(enc_out)
+
+    def step(self, x, cache_k, cache_v, step_idx, cross_k, cross_v):
+        """One cached decode step. x: [B, 1, d]. cache_k/v: [B, T_max, d].
+        Returns (out, new_cache_k, new_cache_v)."""
+        h = self.self_attn_layer_norm(x)
+        new_k, new_v = self.self_attn.kv(h)  # [B, 1, d]
+        cache_k = jax.lax.dynamic_update_slice(cache_k, new_k, (0, step_idx, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, new_v, (0, step_idx, 0))
+        t_max = cache_k.shape[1]
+        valid = (
+            jnp.arange(t_max)[None, None, None, :] <= step_idx
+        )  # attend to ≤ current step
+        bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+        x = x + self.self_attn.attend(h, cache_k, cache_v, bias)
+        x = x + self.encoder_attn.attend(
+            self.encoder_attn_layer_norm(x), cross_k, cross_v
+        )
+        return self._mlp(x), cache_k, cache_v
+
+
+class WhisperDecoder(nn.Module):
+    cfg: WhisperConfig
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(c.vocab_size, c.d_model, name="embed_tokens")
+        self.embed_positions = self.param(
+            "embed_positions",
+            nn.initializers.normal(0.02),
+            (c.max_target_positions, c.d_model),
+        )
+        self.layers = [
+            DecoderBlock(c, name=f"layer_{i}") for i in range(c.decoder_layers)
+        ]
+        self.layer_norm = _ln("layer_norm")
+
+    def __call__(self, tokens: jnp.ndarray, enc_out: jnp.ndarray) -> jnp.ndarray:
+        """Teacher-forced: tokens [B, T] → logits [B, T, vocab]."""
+        t = tokens.shape[1]
+        x = self.embed_tokens(tokens) + self.embed_positions[:t][None]
+        causal = jnp.where(
+            jnp.tril(jnp.ones((t, t), bool))[None, None], 0.0, -1e9
+        ).astype(jnp.float32)
+        for layer in self.layers:
+            ck, cv = layer.cross_kv(enc_out)
+            x = layer(x, ck, cv, causal)
+        x = self.layer_norm(x)
+        return x @ self.embed_tokens.embedding.T
+
+    def prepare_cross_kv(self, enc_out):
+        return [layer.cross_kv(enc_out) for layer in self.layers]
+
+    def decode_step(self, token, step_idx, caches, cross_kvs):
+        """token: [B] int32; caches: list of (k, v) [B, T_max, d] per layer.
+        Returns (logits [B, vocab], new_caches)."""
+        x = (
+            self.embed_tokens(token[:, None])
+            + jax.lax.dynamic_slice_in_dim(
+                self.embed_positions, step_idx, 1, axis=0
+            )[None]
+        )
+        new_caches = []
+        for layer, (ck_cache, cv_cache), (xk, xv) in zip(
+            self.layers, caches, cross_kvs
+        ):
+            x, nk, nv = layer.step(x, ck_cache, cv_cache, step_idx, xk, xv)
+            new_caches.append((nk, nv))
+        x = self.layer_norm(x)
+        logits = (x @ self.embed_tokens.embedding.T)[:, 0, :]
+        return logits, new_caches
+
+
+class WhisperModel(nn.Module):
+    cfg: WhisperConfig
+
+    def setup(self):
+        self.encoder = WhisperEncoder(self.cfg, name="encoder")
+        self.decoder = WhisperDecoder(self.cfg, name="decoder")
+
+    def __call__(self, mel, tokens):
+        """Teacher-forced forward → logits [B, T, vocab]."""
+        return self.decoder(tokens, self.encoder(mel))
+
+    def greedy_decode(self, mel, max_len: int):
+        """Greedy decode as one lax.scan over a static step count.
+
+        Returns (tokens [B, max_len], lengths [B]). Generation freezes at EOS
+        (subsequent steps emit EOS — standard masked greedy decoding)."""
+        c = self.cfg
+        enc_out = self.encoder(mel)
+        cross_kvs = self.decoder.prepare_cross_kv(enc_out)
+        b = mel.shape[0]
+        t_max = c.max_target_positions
+        caches = [
+            (
+                jnp.zeros((b, t_max, c.d_model), enc_out.dtype),
+                jnp.zeros((b, t_max, c.d_model), enc_out.dtype),
+            )
+            for _ in range(c.decoder_layers)
+        ]
+        start = jnp.full((b,), c.decoder_start_token_id, jnp.int32)
+        done0 = jnp.zeros((b,), bool)
+
+        def step(carry, i):
+            token, done, caches = carry
+            logits, caches = self.decoder.decode_step(token, i, caches, cross_kvs)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, c.eos_token_id, nxt)
+            done = jnp.logical_or(done, nxt == c.eos_token_id)
+            return (nxt, done, caches), nxt
+
+        (_, done, _), tokens = jax.lax.scan(
+            step, (start, done0, caches), jnp.arange(max_len)
+        )
+        tokens = tokens.T  # [B, max_len]
+        lengths = jnp.sum(
+            jnp.cumprod((tokens != c.eos_token_id).astype(jnp.int32), axis=1), axis=1
+        )
+        return tokens, lengths
+
+
+def init_params(cfg: WhisperConfig, seed: int = 0) -> Any:
+    model = WhisperModel(cfg)
+    mel = jnp.zeros((1, 16, cfg.n_mels), jnp.float32)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    return model.init(jax.random.PRNGKey(seed), mel, toks)["params"]
+
+
+# --- HF weight import ---------------------------------------------------------
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def _attn(sd, p):
+    return {
+        "q_proj": {"kernel": _t(sd[p + "q_proj.weight"]).T, "bias": _t(sd[p + "q_proj.bias"])},
+        "k_proj": {"kernel": _t(sd[p + "k_proj.weight"]).T},
+        "v_proj": {"kernel": _t(sd[p + "v_proj.weight"]).T, "bias": _t(sd[p + "v_proj.bias"])},
+        "out_proj": {"kernel": _t(sd[p + "out_proj.weight"]).T, "bias": _t(sd[p + "out_proj.bias"])},
+    }
+
+
+def _lnp(sd, p):
+    return {"scale": _t(sd[p + "weight"]), "bias": _t(sd[p + "bias"])}
+
+
+def params_from_hf_whisper(state_dict, cfg: WhisperConfig) -> Any:
+    """Convert a ``transformers`` WhisperModel state dict into this module's
+    params (encoder conv stem + blocks, decoder embeddings + blocks)."""
+    sd = state_dict
+    enc: Dict[str, Any] = {
+        "conv1": {
+            "kernel": _t(sd["encoder.conv1.weight"]).transpose(2, 1, 0),
+            "bias": _t(sd["encoder.conv1.bias"]),
+        },
+        "conv2": {
+            "kernel": _t(sd["encoder.conv2.weight"]).transpose(2, 1, 0),
+            "bias": _t(sd["encoder.conv2.bias"]),
+        },
+        "layer_norm": _lnp(sd, "encoder.layer_norm."),
+    }
+    for i in range(cfg.encoder_layers):
+        p = f"encoder.layers.{i}."
+        enc[f"layer_{i}"] = {
+            "self_attn": _attn(sd, p + "self_attn."),
+            "self_attn_layer_norm": _lnp(sd, p + "self_attn_layer_norm."),
+            "fc1": {"kernel": _t(sd[p + "fc1.weight"]).T, "bias": _t(sd[p + "fc1.bias"])},
+            "fc2": {"kernel": _t(sd[p + "fc2.weight"]).T, "bias": _t(sd[p + "fc2.bias"])},
+            "final_layer_norm": _lnp(sd, p + "final_layer_norm."),
+        }
+    dec: Dict[str, Any] = {
+        "embed_tokens": {"embedding": _t(sd["decoder.embed_tokens.weight"])},
+        "embed_positions": _t(sd["decoder.embed_positions.weight"]),
+        "layer_norm": _lnp(sd, "decoder.layer_norm."),
+    }
+    for i in range(cfg.decoder_layers):
+        p = f"decoder.layers.{i}."
+        dec[f"layer_{i}"] = {
+            "self_attn": _attn(sd, p + "self_attn."),
+            "self_attn_layer_norm": _lnp(sd, p + "self_attn_layer_norm."),
+            "encoder_attn": _attn(sd, p + "encoder_attn."),
+            "encoder_attn_layer_norm": _lnp(sd, p + "encoder_attn_layer_norm."),
+            "fc1": {"kernel": _t(sd[p + "fc1.weight"]).T, "bias": _t(sd[p + "fc1.bias"])},
+            "fc2": {"kernel": _t(sd[p + "fc2.weight"]).T, "bias": _t(sd[p + "fc2.bias"])},
+            "final_layer_norm": _lnp(sd, p + "final_layer_norm."),
+        }
+    return {"encoder": enc, "decoder": dec}

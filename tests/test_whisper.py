@@ -1,0 +1,127 @@
+"""Whisper-style ASR model tests: shapes, cached-decode consistency, HF
+weight-import equivalence."""
+
+import numpy as np
+import pytest
+
+from msa_tpu.models import whisper as W
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = W.WhisperConfig.tiny()
+    model = W.WhisperModel(cfg)
+    params = W.init_params(cfg, seed=0)
+    return cfg, model, params
+
+
+def test_teacher_forced_shapes(tiny, rng):
+    cfg, model, params = tiny
+    mel = rng.normal(size=(2, 20, cfg.n_mels)).astype(np.float32)
+    toks = rng.integers(0, cfg.vocab_size, size=(2, 6)).astype(np.int32)
+    logits = model.apply({"params": params}, mel, toks)
+    assert logits.shape == (2, 6, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_cached_decode_matches_teacher_forcing(tiny, rng):
+    """Greedy tokens from the KV-cached scan must equal step-by-step argmax
+    of the uncached teacher-forced forward."""
+    import jax.numpy as jnp
+
+    cfg, model, params = tiny
+    mel = rng.normal(size=(1, 20, cfg.n_mels)).astype(np.float32)
+    max_len = 8
+
+    tokens, lengths = model.apply(
+        {"params": params}, mel, max_len, method=W.WhisperModel.greedy_decode
+    )
+    tokens = np.asarray(tokens)
+
+    # uncached re-derivation
+    seq = [cfg.decoder_start_token_id]
+    for i in range(max_len):
+        logits = model.apply(
+            {"params": params}, mel, jnp.asarray([seq], jnp.int32)
+        )
+        nxt = int(np.asarray(logits)[0, -1].argmax())
+        seq.append(nxt)
+        if nxt == cfg.eos_token_id:
+            break
+    want = seq[1:]
+    np.testing.assert_array_equal(tokens[0, : len(want)], want)
+    assert int(lengths[0]) <= max_len
+
+
+def test_matches_hf_whisper(tiny, rng):
+    """Teacher-forced logits match transformers.WhisperModel with converted
+    weights (random init, tiny config)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg, model, params = tiny
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=cfg.vocab_size,
+        num_mel_bins=cfg.n_mels,
+        d_model=cfg.d_model,
+        encoder_layers=cfg.encoder_layers,
+        decoder_layers=cfg.decoder_layers,
+        encoder_attention_heads=cfg.num_heads,
+        decoder_attention_heads=cfg.num_heads,
+        encoder_ffn_dim=cfg.d_ff,
+        decoder_ffn_dim=cfg.d_ff,
+        max_source_positions=cfg.max_source_positions,
+        max_target_positions=cfg.max_target_positions,
+        dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+        activation_function="gelu",
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=cfg.eos_token_id,
+        decoder_start_token_id=cfg.decoder_start_token_id,
+    )
+    hf = transformers.WhisperModel(hf_cfg)
+    hf.eval()
+
+    converted = W.params_from_hf_whisper(hf.state_dict(), cfg)
+
+    # HF expects mel [B, n_mels, 2*max_source] and convs over the full
+    # window; use the full static source length for both
+    t_frames = 2 * cfg.max_source_positions
+    mel = rng.normal(size=(1, t_frames, cfg.n_mels)).astype(np.float32)
+    toks = rng.integers(0, cfg.vocab_size, size=(1, 5)).astype(np.int64)
+    with torch.no_grad():
+        hf_out = hf(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            decoder_input_ids=torch.from_numpy(toks),
+        ).last_hidden_state.numpy()
+    # compare decoder hidden states via logits: project HF hidden with the
+    # tied embedding, same as our head
+    emb = hf.decoder.embed_tokens.weight.detach().numpy()
+    want = hf_out @ emb.T
+
+    got = np.asarray(
+        model.apply({"params": converted}, mel, toks.astype(np.int32))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_jax_whisper_transcriber_runs(rng):
+    """End-to-end Transcriber protocol: waveform → log-mel → greedy decode."""
+    from msa_tpu.host.transcription import JaxWhisperTranscriber
+
+    tr = JaxWhisperTranscriber(max_len=8)
+    wav = (0.2 * rng.normal(size=8000)).astype(np.float32)
+    out = tr.transcribe(wav, 16000)
+    assert isinstance(out, str)
+
+    class FakeTok:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    tr2 = JaxWhisperTranscriber(max_len=8, tokenizer=FakeTok())
+    out2 = tr2.transcribe(wav, 16000)
+    assert isinstance(out2, str)
+    # deterministic across calls
+    assert out2 == tr2.transcribe(wav, 16000)
