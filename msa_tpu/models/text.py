@@ -204,7 +204,15 @@ class WordPieceTokenizer:
     PAD = "[PAD]"
     UNK = "[UNK]"
 
-    def __init__(self, vocab_file: Optional[str] = None, vocab_size: int = 29794):
+    def __init__(
+        self,
+        vocab_file: Optional[str] = None,
+        vocab_size: int = 29794,
+        do_lower_case: bool = False,
+    ):
+        # the reference's BERT is CASED (neuralmind/bert-base-portuguese-
+        # cased); case is preserved unless a lowercase vocab asks otherwise
+        self.do_lower_case = do_lower_case
         self.vocab: Optional[Dict[str, int]] = None
         self.vocab_size = vocab_size
         if vocab_file:
@@ -262,7 +270,12 @@ class WordPieceTokenizer:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """→ (input_ids[max_length], attention_mask[max_length]) int32,
         padded/truncated to the static length."""
-        words = text.lower().split()
+        # hash mode normalizes case for determinism; vocab mode preserves it
+        words = (
+            text.lower().split()
+            if self.do_lower_case or self.vocab is None
+            else text.split()
+        )
         ids = [self.cls_id]
         for w in words:
             w = "".join(ch for ch in w if ch.isalnum() or ch in "#'-")

@@ -410,6 +410,7 @@ class StreamingProcessor:
         max_segments: Optional[int] = None,
         time_fn: Callable[[], float] = time.monotonic,
         record_path: Optional[str] = None,
+        warmup: bool = True,
     ):
         """Capture loop (reference streaming_processor.py:379-459). Extra
         testability knobs: ``max_segments`` stops after N windows;
@@ -417,6 +418,21 @@ class StreamingProcessor:
         ends when the frame source is exhausted. ``record_path`` writes the
         captured video (the reference records to temp_stream.mp4,
         streaming_processor.py:140-147)."""
+        if warmup:
+            # compile the no-text segment graph BEFORE going live so the
+            # first real window hits the 37 ms steady-state path instead of
+            # a multi-second compile
+            try:
+                silent = np.zeros(1600, np.float32)
+                pcm = (silent * 32767).astype(np.int16).tobytes()
+                self.process_segment(
+                    [np.zeros((*self._frame_hw, 3), np.uint8)], pcm, ""
+                )
+                lc = self.models.landmark.cfg.landmark_count
+                self._prev_landmarks = np.zeros((lc, 3), np.float32)
+                self._has_prev = np.asarray(False)
+            except Exception as e:
+                logger.warning("warmup failed: %s", e)
         self.start_capture()
         start = time_fn()
         video_buffer: List[np.ndarray] = []
