@@ -418,26 +418,28 @@ class StreamingProcessor:
         ends when the frame source is exhausted. ``record_path`` writes the
         captured video (the reference records to temp_stream.mp4,
         streaming_processor.py:140-147)."""
-        if warmup:
-            # compile the no-text segment graph BEFORE going live so the
-            # first real window hits the 37 ms steady-state path instead of
-            # a multi-second compile
-            try:
-                silent = np.zeros(1600, np.float32)
-                pcm = (silent * 32767).astype(np.int16).tobytes()
-                self.process_segment(
-                    [np.zeros((*self._frame_hw, 3), np.uint8)], pcm, ""
-                )
-                lc = self.models.landmark.cfg.landmark_count
-                self._prev_landmarks = np.zeros((lc, 3), np.float32)
-                self._has_prev = np.asarray(False)
-            except Exception as e:
-                logger.warning("warmup failed: %s", e)
         self.start_capture()
         start = time_fn()
         video_buffer: List[np.ndarray] = []
         segments_done = 0
         writer = None
+        if warmup:
+            # compile the no-text segment graph at the REAL capture
+            # resolution before going live, so the first window hits the
+            # steady-state path instead of a multi-second compile stall;
+            # the peeked frame stays in the buffer
+            first = self.frame_source.read()
+            if first is not None:
+                video_buffer.append(first)
+                try:
+                    pcm = np.zeros(1600, np.int16).tobytes()
+                    self.process_segment([first], pcm, "")
+                    lc = self.models.landmark.cfg.landmark_count
+                    self._prev_landmarks = np.zeros((lc, 3), np.float32)
+                    self._has_prev = np.asarray(False)
+                except Exception as e:
+                    logger.warning("warmup failed: %s", e)
+                start = time_fn()  # don't bill compile time to the window
         try:
             while self.is_running:
                 frame = self.frame_source.read()
