@@ -100,3 +100,193 @@ def test_train_loop_end_to_end(tmp_path):
     assert len(history["train_loss"]) == 2
     assert np.isfinite(history["train_loss"]).all()
     assert (tmp_path / "ckpt" / "best_model.msgpack").exists()
+
+
+# --- tensor / sequence parallel correctness (VERDICT r1 item #2) -------------
+#
+# The reference has NO tensor or sequence parallelism (SURVEY §2.10); these
+# tests validate the rebuild's Megatron-style encoder_param_spec rules and
+# token-axis sharding by asserting exact numerical equivalence with the
+# unsharded model on a 4x2 (data x model) CPU-emulated mesh.
+
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+
+def _tp_mesh():
+    return mesh_lib.make_mesh(n_data=4, n_model=2)
+
+
+def _assert_trees_close(a, b, atol=1e-5):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
+
+
+def test_encoder_param_spec_shards_encoder_kernels():
+    """Guard: the spec rules must actually match our encoder param names
+    (a silent no-match would make every 'tp' test vacuous)."""
+    from msa_tpu.models import text as text_lib
+
+    model = text_lib.TextModel(text_lib.TextModelConfig.tiny())
+    params = text_lib.init_params(model, seed=0)
+    specs = []
+    jax.tree_util.tree_map_with_path(
+        lambda path, leaf: specs.append(
+            mesh_lib.encoder_param_spec(tuple(str(k.key) for k in path), leaf)
+        ),
+        params,
+    )
+    col = sum(1 for s in specs if s == P(None, mesh_lib.MODEL_AXIS))
+    row = sum(1 for s in specs if s == P(mesh_lib.MODEL_AXIS, None))
+    # per layer: query/key/value/fc_in are column-parallel, attn_out/fc_out row
+    assert col >= 4 and row >= 2, (col, row)
+
+
+def test_tensor_sequence_parallel_text_matches_unsharded():
+    """Text trunk forward on a 4x2 mesh — params tp-sharded via
+    encoder_param_spec, tokens sp-sharded P(data, model) — must equal the
+    unsharded forward to 1e-5."""
+    from msa_tpu.models import text as text_lib
+
+    cfg = text_lib.TextModelConfig.tiny()
+    model = text_lib.TextModel(cfg)
+    params = text_lib.init_params(model, seed=0)
+    r = np.random.default_rng(1)
+    b, t = 8, 16
+    ids = r.integers(0, cfg.vocab_size, size=(b, t)).astype(np.int32)
+    mask = np.ones((b, t), np.int32)
+    mask[:, 12:] = 0  # ragged tail exercises masked attention across shards
+
+    fwd = jax.jit(lambda p, i, m: model.apply({"params": p}, i, m))
+    ref = jax.tree.map(np.asarray, fwd(params, ids, mask))
+
+    mesh = _tp_mesh()
+    sp = NamedSharding(mesh, P(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS))
+    params_tp = mesh_lib.shard_encoder_params(mesh, params)
+    with mesh:
+        out = fwd(params_tp, jax.device_put(ids, sp), jax.device_put(mask, sp))
+    _assert_trees_close(out, ref)
+
+
+def test_tensor_parallel_audio_matches_unsharded():
+    """Audio encoder forward with tp-sharded weights + dp-sharded batch."""
+    from msa_tpu.models import audio as audio_lib
+
+    cfg = audio_lib.AudioModelConfig.tiny()
+    model = audio_lib.AudioEmotionModel(cfg)
+    params = audio_lib.init_params(model, seed=0, samples=2000)
+    r = np.random.default_rng(2)
+    wav = (0.1 * r.normal(size=(8, 2000))).astype(np.float32)
+
+    fwd = jax.jit(lambda p, w: model.apply({"params": p}, w))
+    ref = jax.tree.map(np.asarray, fwd(params, wav))
+
+    mesh = _tp_mesh()
+    dp = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    params_tp = mesh_lib.shard_encoder_params(mesh, params)
+    with mesh:
+        out = fwd(params_tp, jax.device_put(wav, dp))
+    _assert_trees_close(out, ref)
+
+
+def test_tensor_parallel_text_grads_match_unsharded():
+    """One train-step-style grad through the tp-sharded text trunk equals the
+    unsharded grad (XLA inserts the correct collectives for both the forward
+    all-reduce and the backward-pass weight-gradient reductions)."""
+    from msa_tpu.models import text as text_lib
+
+    cfg = text_lib.TextModelConfig.tiny()
+    model = text_lib.TextModel(cfg)
+    params = text_lib.init_params(model, seed=0)
+    r = np.random.default_rng(3)
+    b, t = 8, 16
+    ids = r.integers(0, cfg.vocab_size, size=(b, t)).astype(np.int32)
+    mask = np.ones((b, t), np.int32)
+    target = r.random((b, 7)).astype(np.float32)
+    target /= target.sum(axis=1, keepdims=True)
+
+    def loss_fn(p, i, m, y):
+        probs = model.apply({"params": p}, i, m)["emotion_probs"]
+        return -jnp.mean(jnp.sum(y * jnp.log(probs + 1e-8), axis=-1))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    loss_ref, grads_ref = grad_fn(params, ids, mask, target)
+    grads_ref = jax.tree.map(np.asarray, grads_ref)
+
+    mesh = _tp_mesh()
+    sp = NamedSharding(mesh, P(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS))
+    dp = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    params_tp = mesh_lib.shard_encoder_params(mesh, params)
+    with mesh:
+        loss_tp, grads_tp = grad_fn(
+            params_tp,
+            jax.device_put(ids, sp),
+            jax.device_put(mask, sp),
+            jax.device_put(target, dp),
+        )
+    assert float(loss_ref) == pytest.approx(float(loss_tp), rel=1e-6)
+    _assert_trees_close(grads_tp, grads_ref)
+
+
+def test_full_pipeline_tp_sp_dp_matches_unsharded():
+    """The FULL SegmentPipeline forward under dp(batch) + tp(encoder weights)
+    + sp(token axis) equals the single-device forward (micro models: this
+    validates sharding semantics end-to-end, not capacity)."""
+    from msa_tpu.models.audio import AudioModelConfig
+    from msa_tpu.models.face import FaceModelConfig
+    from msa_tpu.models.fusion import FusionMLP
+    from msa_tpu.models.text import TextModelConfig
+    from msa_tpu.models.transformer import EncoderConfig
+    from msa_tpu.pipeline import graph as graph_lib
+    from msa_tpu.pipeline.graph import PipelineModels, SegmentPipeline
+
+    micro = EncoderConfig(num_layers=1, d_model=16, num_heads=2, d_ff=32)
+    models = PipelineModels.initialize(
+        seed=0,
+        face_cfg=FaceModelConfig.tiny(),
+        audio_cfg=AudioModelConfig(
+            conv_channels=(8, 8), conv_kernels=(10, 8), conv_strides=(5, 4),
+            pool_hidden=8, positional="sinusoidal", encoder=micro,
+        ),
+        text_cfg=TextModelConfig(vocab_size=128, max_positions=64, encoder=micro),
+        fusion=FusionMLP(hidden_dim=32),
+    )
+    pipeline = SegmentPipeline(models, original_frame_hw=(48, 64))
+    params = models.params_tree()
+
+    r = np.random.default_rng(4)
+    batch, samples, tokens = 8, 2000, 16
+    inp = graph_lib.SegmentInputs.zeros(models, batch, samples=samples, tokens=tokens)
+    inp.frames = r.integers(0, 255, size=inp.frames.shape, dtype=np.uint8)
+    inp.audio = (0.1 * r.normal(size=inp.audio.shape)).astype(np.float32)
+    inp.token_ids = r.integers(0, 128, size=inp.token_ids.shape).astype(np.int32)
+    inp.token_mask = np.ones_like(inp.token_mask)
+    inp.completeness = r.random(batch).astype(np.float32)
+    inp.relevance = r.random(batch).astype(np.float32)
+
+    fwd = jax.jit(lambda p, i: pipeline._forward(p, i)[0])
+    ref = jax.tree.map(np.asarray, fwd(params, inp))
+
+    mesh = _tp_mesh()
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    sp = NamedSharding(mesh, P(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS))
+
+    def _place_param(path, leaf):
+        spec = mesh_lib.encoder_param_spec(tuple(str(k.key) for k in path), leaf)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    params_tp = jax.tree_util.tree_map_with_path(_place_param, params)
+    field_sh = {f: dp for f in graph_lib._BATCH_FIELDS}
+    field_sh["token_ids"] = sp
+    field_sh["token_mask"] = sp
+    inputs_sh = graph_lib.SegmentInputs(
+        **field_sh, **{f: rep for f in graph_lib._CARRY_FIELDS}
+    )
+    inp_sh = jax.device_put(inp, inputs_sh)
+    with mesh:
+        out = fwd(params_tp, inp_sh)
+    # bf16 never enters these micro configs (f32 default), so 1e-5 holds
+    _assert_trees_close(out, ref)
