@@ -54,9 +54,18 @@ void msa_slice_windows(const float* waveform, int64_t total_samples,
 // the producer (audio callback thread) pushes, the consumer (processing
 // loop) drains. Overflow drops the OLDEST samples (the reference's bounded
 // video buffer does the same, streaming_processor.py:406-408).
+//
+// Drop-oldest makes the producer a second writer of `tail`, so BOTH sides
+// move `tail` with compare-exchange on monotonic counters (no lost updates,
+// no ABA). The consumer copies first and publishes its claim with a tail-CAS
+// afterwards: if the producer evicted past the copied region mid-copy, the
+// consumer's CAS fails and it retries with fresh bounds, so an overwritten
+// copy is never returned. Slots are relaxed atomics — plain movs on x86 —
+// which keeps the eviction overlap well-defined (and TSan-clean) instead of
+// a benign-but-UB data race.
 
 struct MsaRing {
-  float* data;
+  std::atomic<float>* data;
   int64_t capacity;
   std::atomic<int64_t> head;  // next write position (monotonic)
   std::atomic<int64_t> tail;  // next read position (monotonic)
@@ -65,7 +74,7 @@ struct MsaRing {
 void* msa_ring_create(int64_t capacity) {
   if (capacity <= 0) return nullptr;
   MsaRing* r = new MsaRing();
-  r->data = new float[capacity];
+  r->data = new std::atomic<float>[capacity];
   r->capacity = capacity;
   r->head.store(0, std::memory_order_relaxed);
   r->tail.store(0, std::memory_order_relaxed);
@@ -94,16 +103,21 @@ int64_t msa_ring_push(void* ring, const float* samples, int64_t n) {
     samples += n - r->capacity;
     n = r->capacity;
   }
-  int64_t head = r->head.load(std::memory_order_relaxed);
+  int64_t head = r->head.load(std::memory_order_relaxed);  // producer-owned
   int64_t tail = r->tail.load(std::memory_order_acquire);
-  int64_t used = head - tail;
-  if (used + n > r->capacity) {
-    int64_t evict = used + n - r->capacity;
-    dropped += evict;
-    r->tail.store(tail + evict, std::memory_order_release);
+  while (head - tail + n > r->capacity) {
+    int64_t evict = head - tail + n - r->capacity;
+    if (r->tail.compare_exchange_weak(tail, tail + evict,
+                                      std::memory_order_acq_rel,
+                                      std::memory_order_acquire)) {
+      dropped += evict;
+      break;
+    }
+    // CAS failure reloaded `tail` (consumer popped, freeing room) — re-check.
   }
   for (int64_t i = 0; i < n; ++i)
-    r->data[(head + i) % r->capacity] = samples[i];
+    r->data[(head + i) % r->capacity].store(samples[i],
+                                            std::memory_order_relaxed);
   r->head.store(head + n, std::memory_order_release);
   return dropped;
 }
@@ -111,14 +125,23 @@ int64_t msa_ring_push(void* ring, const float* samples, int64_t n) {
 // Pop up to n samples into out. Returns samples actually popped.
 int64_t msa_ring_pop(void* ring, float* out, int64_t n) {
   MsaRing* r = static_cast<MsaRing*>(ring);
-  int64_t tail = r->tail.load(std::memory_order_relaxed);
-  int64_t head = r->head.load(std::memory_order_acquire);
-  int64_t avail = head - tail;
-  if (n > avail) n = avail;
-  for (int64_t i = 0; i < n; ++i)
-    out[i] = r->data[(tail + i) % r->capacity];
-  r->tail.store(tail + n, std::memory_order_release);
-  return n;
+  for (;;) {
+    int64_t tail = r->tail.load(std::memory_order_acquire);
+    int64_t head = r->head.load(std::memory_order_acquire);
+    int64_t m = head - tail;
+    if (m <= 0) return 0;
+    if (m > n) m = n;
+    for (int64_t i = 0; i < m; ++i)
+      out[i] = r->data[(tail + i) % r->capacity].load(
+          std::memory_order_relaxed);
+    // Claim [tail, tail+m). Fails iff the producer evicted during the copy
+    // (the producer only writes into the copied region AFTER a successful
+    // eviction-CAS on tail) — then the copy may be stale, so retry.
+    if (r->tail.compare_exchange_strong(tail, tail + m,
+                                        std::memory_order_acq_rel,
+                                        std::memory_order_acquire))
+      return m;
+  }
 }
 
 }  // extern "C"
