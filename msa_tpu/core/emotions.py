@@ -142,3 +142,19 @@ def duplicate_4_to_8(probs4):
 
 def label_of(index: int, order: Sequence[str] = CANONICAL) -> str:
     return order[int(index)]
+
+
+# Scatter of the 4 IEMOCAP classes into the canonical 7 slots; the three
+# emotions the audio model cannot express (fearful/disgusted/surprised) get
+# probability 0. Static, safe inside jit.
+_IEMOCAP4_SLOTS: Tuple[int, ...] = tuple(
+    CANONICAL.index(_norm(lbl)) for lbl in IEMOCAP4
+)
+
+
+def iemocap4_to_canonical7(probs4):
+    """[..., 4] IEMOCAP probabilities → [..., 7] canonical-order probability
+    vector (zeros in the inexpressible slots). Keeps sum = 1."""
+    probs4 = jnp.asarray(probs4)
+    out = jnp.zeros(probs4.shape[:-1] + (len(CANONICAL),), probs4.dtype)
+    return out.at[..., jnp.asarray(_IEMOCAP4_SLOTS)].set(probs4)

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from msa_tpu.core import emotions
 from msa_tpu.core.config import SystemConfig
 from msa_tpu.models.audio import AudioEmotionModel, AudioModelConfig
 from msa_tpu.models.face import (
@@ -313,8 +314,16 @@ class SegmentPipeline:
         quality = quality * face_avail[:, None].astype(quality.dtype)
         position = position * face_avail[:, None].astype(position.dtype)
 
+        # true pre-LayerNorm probabilities in CANONICAL order — the valid
+        # distribution for pseudo-labeling and single-modality labeling
+        # (the sliced-back `emotion_probs` below are post-LN, reference
+        # streaming contract, NOT probabilities)
+        probs_raw = emotions.reorder(emo_deepface, emotions.DEEPFACE_TO_CANONICAL)
+        probs_raw = probs_raw * avail + (1.0 / 7.0) * (1 - avail)
+
         return {
             "face27": face27,
+            "emotion_probs_raw": probs_raw,
             "emotion_probs": fields[:, :7],
             "micro_expressions": fields[:, 7:12],
             "gaze_direction": fields[:, 12:15],
@@ -333,7 +342,8 @@ class SegmentPipeline:
         # host→device transfer); normalize on device
         if audio.dtype == jnp.int16:
             audio = audio.astype(jnp.float32) / 32768.0
-        emo8 = m.audio.apply({"params": params["audio"]}, audio)["emotion_probs"]
+        audio_out = m.audio.apply({"params": params["audio"]}, audio)
+        emo8 = audio_out["emotion_probs"]
         dsp, quality = jax.vmap(
             lambda w: AF.audio_feature_stack(w, sr, self.config.audio.pitch_mode)
         )(audio)
@@ -350,8 +360,12 @@ class SegmentPipeline:
         fields = normed[:, :27] * avail + default31[None, :27] * (1 - avail)
         quality = quality * avail
 
+        probs_raw = emotions.iemocap4_to_canonical7(audio_out["probs4"])
+        probs_raw = probs_raw * avail + (1.0 / 7.0) * (1 - avail)
+
         return {
             "audio31": audio31,
+            "emotion_probs_raw": probs_raw,
             "emotion_probs": fields[:, :8],
             "pitch": fields[:, 8:9],
             "intensity": fields[:, 9:10],
@@ -393,8 +407,11 @@ class SegmentPipeline:
         fields = normed[:, :779] * avail + default783[None, :779] * (1 - avail)
         quality = quality * avail
 
+        probs_raw = tout["emotion_probs"] * avail + (1.0 / 7.0) * (1 - avail)
+
         return {
             "text783": text783,
+            "emotion_probs_raw": probs_raw,
             "emotion_probs": fields[:, :7],
             "sarcasm_score": fields[:, 7:8],
             "humor_score": fields[:, 8:9],

@@ -288,12 +288,37 @@ class OfflineProcessor:
         for batch, transcripts, out in pending:
             b = len(batch)
             with self.timer.stage("fetch"):
-                fused, f27, a31, t783 = jax.device_get(
-                    (out["fused"], out["face27"], out["audio31"], out["text783"])
+                fused, f27, a31, t783, fp, ap, tp, combo = jax.device_get(
+                    (
+                        out["fused"],
+                        out["face27"],
+                        out["audio31"],
+                        out["text783"],
+                        out["face"]["emotion_probs_raw"],
+                        out["audio"]["emotion_probs_raw"],
+                        out["text"]["emotion_probs_raw"],
+                        out["combo"],
+                    )
                 )
                 fused, f27, a31, t783 = fused[:b], f27[:b], a31[:b], t783[:b]
+                fp, ap, tp, combo = fp[:b], ap[:b], tp[:b], combo[:b]
             for i, seg in enumerate(batch):
                 fused_vec = fused[i]
+                if int(combo[i]) in (0b100, 0b010, 0b001, 0b000):
+                    # <2 modalities: fuse_combo passes the single modality's
+                    # post-LN slice through — its entries are NOT in the fused
+                    # head's taxonomy, so argmax-as-PT_UI would mislabel
+                    # (round-1 advisor finding). Label from the modality's
+                    # true probability vector instead, reordered into the
+                    # UI convention.
+                    single = {0b100: fp, 0b010: ap, 0b001: tp}.get(int(combo[i]))
+                    probs = single[i] if single is not None else np.full(7, 1 / 7)
+                    probs_pt = emotions.reorder_np(probs, emotions.CANONICAL_TO_PT_UI)
+                    label = emotions.PT_UI[int(np.argmax(probs_pt))]
+                else:
+                    # argmax label in the reference's UI convention
+                    # (examples/streaming_example.py:23-25)
+                    label = emotions.PT_UI[int(np.argmax(fused_vec))]
                 seg_results.append(
                     {
                         # reference process_segment dict schema
@@ -304,11 +329,16 @@ class OfflineProcessor:
                         "face_vec": f27[i].tolist(),
                         "audio_vec": a31[i].tolist(),
                         "text_vec": t783[i].tolist(),
+                        # true per-modality probability vectors (CANONICAL
+                        # order) — valid distributions for pseudo-labeling
+                        # (training/preprocess_ami.py), unlike the post-LN
+                        # slices in *_vec
+                        "face_probs": fp[i].tolist(),
+                        "audio_probs": ap[i].tolist(),
+                        "text_probs": tp[i].tolist(),
                         "transcript": transcripts[i],
                         "fused_vec": fused_vec.tolist(),
-                        # argmax label in the reference's UI convention
-                        # (examples/streaming_example.py:23-25)
-                        "fused_emotion": emotions.PT_UI[int(np.argmax(fused_vec))],
+                        "fused_emotion": label,
                     }
                 )
             if on_progress:

@@ -90,12 +90,15 @@ class AMIPreprocessor:
                             face = np.asarray(seg["face_vec"], np.float32)
                             audio = np.asarray(seg["audio_vec"], np.float32)
                             text = np.asarray(seg["text_vec"], np.float32)
+                            # pseudo-label from the TRUE probability vectors
+                            # (canonical order, exported by the pipeline) —
+                            # the *_vec slices are post-LayerNorm and can be
+                            # negative / sum to ~0, which would make the KL
+                            # target invalid (round-1 advisor finding)
                             target = pseudo_label(
-                                face[:7],
-                                # audio contract is 8-dim; fold to 7 by
-                                # dropping the duplicated tail mass
-                                audio[:7] / max(audio[:7].sum(), 1e-8),
-                                text[:7],
+                                np.asarray(seg["face_probs"], np.float32),
+                                np.asarray(seg["audio_probs"], np.float32),
+                                np.asarray(seg["text_probs"], np.float32),
                             )
                             segments.append(
                                 {

@@ -102,6 +102,12 @@ def test_offline_process_video_end_to_end(tmp_path, tiny_models, synthetic_video
     assert per_segment and progress and progress[-1] == pytest.approx(1.0)
     # D3 effective behavior preserved: stub transcriber → empty transcripts
     assert seg["transcript"] == ""
+    # true per-modality probability vectors (canonical order): valid
+    # distributions, usable as pseudo-label inputs (advisor r1 finding)
+    for key in ("face_probs", "audio_probs", "text_probs"):
+        p = np.asarray(seg[key])
+        assert p.shape == (7,)
+        assert (p >= 0).all() and p.sum() == pytest.approx(1.0, abs=1e-5)
 
 
 def test_offline_patterns_and_grouping():
