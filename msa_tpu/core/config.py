@@ -74,11 +74,15 @@ class TranscriptionConfig:
 
     The reference intended openai/whisper-medium but actually built an ASR
     pipeline from a BERT checkpoint (defect D3) so transcription always
-    degraded to "". We expose a pluggable Transcriber; the default stub
-    preserves the reference's *effective* behavior (empty transcripts).
+    degraded to "". We expose a pluggable Transcriber. The default ``auto``
+    resolves to the TPU-native jax-whisper backend when pretrained weights +
+    BPE tokenizer assets exist under ``data/assets/whisper`` (override with
+    MSA_WHISPER_ASSETS) and to the stub — the reference's *effective*
+    behavior, empty transcripts — otherwise. ``jax-whisper`` forces the
+    native backend regardless of assets; ``stub`` forces empty transcripts.
     """
 
-    model: str = "stub"
+    model: str = "auto"
     language: str = "pt"
     task: str = "transcribe"
 

@@ -52,14 +52,13 @@ class JaxWhisperTranscriber:
     """TPU-native Whisper-style transcriber (msa_tpu.models.whisper): log-mel
     frontend + encoder-decoder + KV-cached greedy decode, all jitted.
 
-    Text output needs a BPE tokenizer asset; without one (this build
-    environment has no downloadable assets) decoded token ids are returned
-    as a deterministic placeholder string only when ``tokenizer`` is given,
-    else "". Pretrained weights import via
-    models.whisper.params_from_hf_whisper.
+    Text decoding uses the byte-level BPE tokenizer (msa_tpu.host.bpe):
+    ``vocab.json``/``merges.txt`` assets when present, a deterministic
+    byte-direct fallback otherwise, so the transcriber always produces text.
+    Pretrained weights import via models.whisper.params_from_hf_whisper.
     """
 
-    def __init__(self, cfg=None, params=None, tokenizer=None, max_len: int = 64):
+    def __init__(self, cfg=None, params=None, tokenizer="auto", max_len: int = 64):
         import jax
         import jax.numpy as jnp
 
@@ -68,6 +67,8 @@ class JaxWhisperTranscriber:
         self.cfg = cfg or W.WhisperConfig.tiny()
         self.model = W.WhisperModel(self.cfg)
         self.params = params if params is not None else W.init_params(self.cfg)
+        if tokenizer == "auto":
+            tokenizer = _auto_tokenizer(self.cfg)
         self.tokenizer = tokenizer
         self.max_len = min(max_len, self.cfg.max_target_positions)
 
@@ -81,27 +82,34 @@ class JaxWhisperTranscriber:
 
     def _log_mel(self, waveform, sample_rate):
         """Whisper-style log-mel: n_fft 400, hop 160, n_mels, log10 with
-        dynamic-range clamp."""
+        dynamic-range clamp.
+
+        Whisper's convention pads the WAVEFORM to the static window (30 s for
+        the published configs) before the mel, so padded frames carry the
+        normalized-silence value — zero-padding the normalized log-mel
+        instead would make pretrained encoders attend over wrongly-valued
+        pad frames (round-1 advisor finding)."""
         import numpy as np
 
         from msa_tpu.ops.audio_features import mel_filterbank, power_spectrogram
 
-        x = self._jnp.asarray(waveform, self._jnp.float32)
-        power = power_spectrogram(x, n_fft=400, hop=160)  # [freq, frames]
+        hop = 160
+        t_max = 2 * self.cfg.max_source_positions
+        x = np.asarray(waveform, np.float32)
+        n_samples = t_max * hop
+        if x.shape[0] < n_samples:
+            x = np.pad(x, (0, n_samples - x.shape[0]))
+        else:
+            x = x[:n_samples]
+        x = self._jnp.asarray(x)
+        power = power_spectrogram(x, n_fft=400, hop=hop)  # [freq, frames]
         fb = self._jnp.asarray(
             mel_filterbank(201, self.cfg.n_mels, sample_rate, 0.0, sample_rate / 2)
         )
-        mel = self._jnp.einsum("ft,fm->mt", power, fb)
+        mel = self._jnp.einsum("ft,fm->mt", power, fb)[:, :t_max]
         log_mel = self._jnp.log10(self._jnp.maximum(mel, 1e-10))
         log_mel = self._jnp.maximum(log_mel, log_mel.max() - 8.0)
         log_mel = (log_mel + 4.0) / 4.0
-        t = log_mel.shape[1]
-        # pad frames to the static source window
-        t_max = 2 * self.cfg.max_source_positions
-        if t < t_max:
-            log_mel = self._jnp.pad(log_mel, ((0, 0), (0, t_max - t)))
-        else:
-            log_mel = log_mel[:, :t_max]
         return log_mel.T[None]  # [1, frames, n_mels]
 
     def transcribe(self, waveform, sample_rate: int) -> str:
@@ -112,13 +120,91 @@ class JaxWhisperTranscriber:
             ids = [int(t) for t in tokens[0][:n]]
             if self.tokenizer is not None:
                 return self.tokenizer.decode(ids)
-            return ""  # no tokenizer asset → effective reference behavior
+            return ""  # tokenizer explicitly disabled
         except Exception:
             return ""
 
 
+class SyllableTokenizer:
+    """Deterministic id → pseudo-word decoder for tiny test vocabularies
+    (too small for the byte-direct BPE fallback). Produces stable, non-empty
+    text so the transcript → tokenizer → text-branch path is exercisable
+    end-to-end with random-init models."""
+
+    _SYL = ("ba", "de", "ki", "lo", "mu", "na", "pe", "ri", "so", "tu")
+
+    def decode(self, ids) -> str:
+        words, word = [], []
+        for i in ids:
+            word.append(self._SYL[int(i) % len(self._SYL)])
+            if len(word) == 2:
+                words.append("".join(word))
+                word = []
+        if word:
+            words.append("".join(word))
+        return " ".join(words)
+
+    def encode(self, text: str):
+        raise NotImplementedError("decode-only test tokenizer")
+
+
+def whisper_assets_dir() -> str:
+    """Tokenizer/weight asset location: MSA_WHISPER_ASSETS env override,
+    else ``data/assets/whisper``."""
+    import os
+
+    return os.environ.get("MSA_WHISPER_ASSETS", "data/assets/whisper")
+
+
+def _auto_tokenizer(cfg):
+    """Best available tokenizer: BPE assets → byte-direct BPE fallback →
+    syllable decoder (tiny vocabs)."""
+    from msa_tpu.host.bpe import ByteLevelBPE, load_whisper_tokenizer
+
+    tok = load_whisper_tokenizer(whisper_assets_dir())
+    if tok is not None:
+        return tok
+    if cfg.vocab_size >= 1256:
+        return ByteLevelBPE(vocab_size=cfg.vocab_size)
+    if cfg.vocab_size >= 512:
+        return ByteLevelBPE(
+            vocab_size=cfg.vocab_size, byte_offset=cfg.vocab_size - 256
+        )
+    return SyllableTokenizer()
+
+
 def make_transcriber(name: str, language: str = "pt") -> Transcriber:
+    """Build a Transcriber by config name (TranscriptionConfig.model).
+
+    - ``stub``: always "" (the reference's effective behavior, D3)
+    - ``auto``: jax-whisper IFF pretrained weights AND tokenizer assets are
+      both present under :func:`whisper_assets_dir`, else stub — the
+      production default: real transcription when deployable, reference
+      behavior otherwise
+    - ``jax-whisper``: always-on TPU-native whisper (random-init weights
+      when no assets; text still flows, useful for tests/integration)
+    - anything else: HF pipeline adapter (needs downloadable weights)
+    """
     if name in ("stub", "", None):
+        return StubTranscriber()
+    if name == "auto":
+        from pathlib import Path
+
+        from msa_tpu.models import whisper as W
+
+        from msa_tpu.host.bpe import load_whisper_tokenizer
+
+        assets = Path(whisper_assets_dir())
+        tok = load_whisper_tokenizer(str(assets))
+        params_path = assets / "params.msgpack"
+        if tok is not None and params_path.exists():
+            import flax.serialization
+
+            cfg = W.WhisperConfig()
+            params = flax.serialization.from_bytes(
+                W.init_params(cfg), params_path.read_bytes()
+            )
+            return JaxWhisperTranscriber(cfg=cfg, params=params, tokenizer=tok)
         return StubTranscriber()
     if name in ("jax-whisper", "whisper-jax"):
         return JaxWhisperTranscriber()

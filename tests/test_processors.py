@@ -110,6 +110,36 @@ def test_offline_process_video_end_to_end(tmp_path, tiny_models, synthetic_video
         assert (p >= 0).all() and p.sum() == pytest.approx(1.0, abs=1e-5)
 
 
+def test_offline_transcript_flows_into_text_branch(
+    tmp_path, tiny_models, synthetic_video
+):
+    """With a real (jax-whisper) transcriber the transcript is non-empty and
+    the text modality goes LIVE: token ids feed the BERT trunk instead of the
+    default text analysis (VERDICT r1 item #4 done-criterion; the reference
+    never achieved this, defect D3)."""
+    from msa_tpu.host.transcription import JaxWhisperTranscriber
+
+    cfg = _tiny_config(tmp_path)
+    proc = OfflineProcessor(
+        config=cfg,
+        models=tiny_models,
+        transcriber=JaxWhisperTranscriber(max_len=8),
+    )
+    results = proc.process_video(synthetic_video)
+    segs = [s for r in results for s in r["raw_analysis"]]
+    live = [s for s in segs if s["transcript"]]
+    assert live, "no non-empty transcripts produced"
+    seg = live[0]
+    text = np.asarray(seg["text_vec"])
+    # default text analysis is uniform(7) + zeros (text_analyzer.py:305-319);
+    # a live text branch produces a non-zero context embedding region
+    assert np.abs(text[11:779]).sum() > 0
+    # deterministic across runs (same media, same models)
+    results2 = proc.process_video(synthetic_video)
+    segs2 = [s for r in results2 for s in r["raw_analysis"]]
+    assert [s["transcript"] for s in segs2] == [s["transcript"] for s in segs]
+
+
 def test_offline_patterns_and_grouping():
     def seg(i, emo, spk="A"):
         return {
