@@ -99,17 +99,32 @@ class PipelineModels:
         audio_cfg = audio_cfg or AudioModelConfig(encoder=prod_enc)
         text_cfg = text_cfg or TextModelConfig(encoder=prod_enc)
         landmark = FaceLandmarkNet(face_cfg)
-        face_cnn = FaceEmotionCNN(face_cfg)
+        face_cnn = face_lib.make_emotion_cnn(face_cfg)
         audio = AudioEmotionModel(audio_cfg)
         text = TextModel(text_cfg)
         fusion = fusion or FusionMLP()
         if fusion_params is None:
             fusion_params = fusion_lib.init_params(fusion, seed)
+        # pretrained face assets drop in when configured (the reference's
+        # face path was pretrained MediaPipe + DeepFace; see
+        # face_lib.params_from_keras_fer / training.train_landmarks)
+        import os
+
+        if face_cfg.landmark_weights and os.path.exists(face_cfg.landmark_weights):
+            landmark_params = face_lib.load_landmark_weights(
+                landmark, face_cfg.landmark_weights
+            )
+        else:
+            landmark_params = face_lib.init_landmark_params(landmark, seed)
+        if face_cfg.emotion_weights and os.path.exists(face_cfg.emotion_weights):
+            face_cnn_params = face_lib.load_emotion_weights(face_cfg.emotion_weights)
+        else:
+            face_cnn_params = face_lib.init_emotion_params(face_cnn, seed + 1)
         return cls(
             landmark=landmark,
-            landmark_params=face_lib.init_landmark_params(landmark, seed),
+            landmark_params=landmark_params,
             face_cnn=face_cnn,
-            face_cnn_params=face_lib.init_emotion_params(face_cnn, seed + 1),
+            face_cnn_params=face_cnn_params,
             audio=audio,
             audio_params=audio_lib.init_params(audio, seed + 2, samples=8000),
             text=text,
