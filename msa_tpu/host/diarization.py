@@ -220,8 +220,157 @@ class ClusteringDiarizer:
         return segments
 
 
-def make_diarizer(name: str, processing_config) -> Diarizer:
+class NeuralDiarizer:
+    """Learned multi-speaker diarization: energy-VAD spans → batched
+    on-device speaker embeddings → agglomerative clustering.
+
+    The learned replacement for the reference's pyannote pipeline
+    (offline_processor.py:62-66): a trained
+    :class:`msa_tpu.models.speaker.SpeakerEmbeddingNet` maps fixed log-mel
+    windows to L2-normalized embeddings (ALL windows of ALL spans in ONE
+    jitted device call — static shapes), each span is the mean of its window
+    embeddings, and spans merge by average-linkage cosine similarity until
+    the best merge falls below ``threshold`` (bounded to
+    [min_speakers, max_speakers]). Unlike ClusteringDiarizer's mean-MFCC
+    k-means it separates same-pitch voices that differ only in timbre
+    (tested in tests/test_diarization.py)."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        segment_duration: float = 5.0,
+        min_speech_duration: float = 0.5,
+        min_pause_duration: float = 0.5,
+        min_speakers: int = 1,
+        max_speakers: int = 4,
+        threshold: float = 0.6,
+    ):
+        self._vad = EnergyVADDiarizer(
+            segment_duration, min_speech_duration, min_pause_duration
+        )
+        self.model = model
+        self.params = params
+        self.min_speakers = min_speakers
+        self.max_speakers = max_speakers
+        self.threshold = threshold
+        import jax
+
+        self._embed = jax.jit(
+            lambda w: self.model.embed_windows(self.params, w)
+        )
+
+    def _span_embeddings(
+        self, waveform: np.ndarray, segments: List[Dict], sample_rate: int
+    ) -> np.ndarray:
+        """→ [n_spans, D] L2-normalized. Windows are sliced host-side into
+        one [n_windows, window_samples] batch, embedded in one device call."""
+        cfg = self.model.cfg
+        ws = cfg.window_samples
+        hop = ws // 2
+        windows: List[np.ndarray] = []
+        owners: List[int] = []
+        for i, seg in enumerate(segments):
+            lo = int(seg["start"] * sample_rate)
+            hi = int(seg["end"] * sample_rate)
+            clip = waveform[lo:hi]
+            if len(clip) < ws:
+                clip = np.pad(clip, (0, ws - len(clip)))
+            for off in range(0, max(len(clip) - ws, 0) + 1, hop):
+                windows.append(clip[off : off + ws])
+                owners.append(i)
+        batch = np.stack(windows).astype(np.float32)
+        embs = np.asarray(self._embed(batch))  # [n_windows, D]
+        out = np.zeros((len(segments), embs.shape[1]), np.float32)
+        counts = np.zeros(len(segments), np.int64)
+        for e, i in zip(embs, owners):
+            out[i] += e
+            counts[i] += 1
+        out /= np.maximum(counts[:, None], 1)
+        out /= np.linalg.norm(out, axis=1, keepdims=True) + 1e-8
+        return out
+
+    @staticmethod
+    def _agglomerate(
+        embs: np.ndarray, threshold: float, min_k: int, max_k: int
+    ) -> np.ndarray:
+        """Average-linkage agglomerative clustering on cosine similarity.
+        Merges the most similar cluster pair while similarity ≥ threshold
+        (or while over max_k); stops at min_k clusters."""
+        n = len(embs)
+        labels = np.arange(n)
+        centroids = {i: embs[i].copy() for i in range(n)}
+        sizes = {i: 1 for i in range(n)}
+
+        def _best_pair():
+            keys = sorted(centroids)
+            best, best_sim = None, -2.0
+            for a_i, a in enumerate(keys):
+                ca = centroids[a] / (np.linalg.norm(centroids[a]) + 1e-8)
+                for b in keys[a_i + 1 :]:
+                    cb = centroids[b] / (np.linalg.norm(centroids[b]) + 1e-8)
+                    sim = float(ca @ cb)
+                    if sim > best_sim:
+                        best, best_sim = (a, b), sim
+            return best, best_sim
+
+        while len(centroids) > max(min_k, 1):
+            pair, sim = _best_pair()
+            if pair is None:
+                break
+            if sim < threshold and len(centroids) <= max_k:
+                break
+            a, b = pair
+            total = sizes[a] + sizes[b]
+            centroids[a] = (centroids[a] * sizes[a] + centroids[b] * sizes[b]) / total
+            sizes[a] = total
+            del centroids[b], sizes[b]
+            labels[labels == b] = a
+        # compact to 0..k-1 by first appearance
+        remap: Dict[int, int] = {}
+        out = np.empty(n, np.int64)
+        for i, lbl in enumerate(labels):
+            out[i] = remap.setdefault(int(lbl), len(remap))
+        return out
+
+    def diarize(self, waveform: np.ndarray, sample_rate: int) -> List[Dict]:
+        segments = self._vad.diarize(waveform, sample_rate)
+        if len(segments) < 2 or self.max_speakers <= 1:
+            return segments
+        embs = self._span_embeddings(waveform, segments, sample_rate)
+        labels = self._agglomerate(
+            embs, self.threshold, self.min_speakers, self.max_speakers
+        )
+        for seg, lbl in zip(segments, labels):
+            seg["speaker"] = f"SPEAKER_{int(lbl):02d}"
+        return segments
+
+
+def make_diarizer(name: str, processing_config, diarization_config=None) -> Diarizer:
     """Factory keyed by DiarizationConfig.model."""
+    if name in ("neural", "speaker-embedding") and diarization_config is not None:
+        import os
+
+        weights = diarization_config.speaker_weights
+        if weights and os.path.exists(weights):
+            from msa_tpu.models.speaker import (
+                SpeakerConfig,
+                SpeakerEmbeddingNet,
+                load_params,
+            )
+
+            model = SpeakerEmbeddingNet(SpeakerConfig())
+            return NeuralDiarizer(
+                model,
+                load_params(model, weights),
+                segment_duration=processing_config.segment_duration,
+                min_speech_duration=processing_config.min_speech_duration,
+                min_pause_duration=processing_config.min_pause_duration,
+                min_speakers=diarization_config.min_speakers,
+                max_speakers=diarization_config.max_speakers,
+            )
+        # no trained checkpoint on disk → deterministic clustering fallback
+        name = "clustering"
     if name in ("fixed-window", "fixed"):
         return FixedWindowDiarizer(processing_config.segment_duration)
     if name in ("energy-vad", "vad"):

@@ -76,3 +76,97 @@ def test_clustering_single_speaker_stays_single(rng):
     segs = ClusteringDiarizer(max_speakers=4).diarize(x, SR)
     assert segs
     assert set(s["speaker"] for s in segs) == {"SPEAKER_00"}
+
+
+# --- learned diarizer (VERDICT r1 #7) -----------------------------------------
+#
+# A trained SpeakerEmbeddingNet behind the same Diarizer interface must
+# separate 3+ voices including the case mean-MFCC k-means cannot: identical
+# pitch, different timbre (formant set). The embedder trains on procedurally
+# random voices, so the evaluation voices below are NEVER seen in training.
+
+
+@pytest.fixture(scope="module")
+def trained_embedder():
+    from msa_tpu.models.speaker import SpeakerConfig, train_speaker_embedder
+
+    model, params, history = train_speaker_embedder(
+        cfg=SpeakerConfig.tiny(), steps=150, n_speakers=6, n_utts=3, seed=0
+    )
+    return model, params, history
+
+
+def test_ge2e_training_converges(trained_embedder):
+    """Loss is noisy step to step (every step samples NEW random voices, so
+    batch difficulty varies) — compare medians, not endpoints."""
+    _, _, history = trained_embedder
+    early = np.median(history["loss"][:10])
+    late = np.median(history["loss"][-30:])
+    assert late < early, (early, late)
+    assert min(history["loss"]) < 0.05
+
+
+def test_embeddings_cluster_by_voice_not_utterance(trained_embedder, rng):
+    """Held-out voices: same-voice windows must be more similar than
+    cross-voice windows (incl. the same-pitch pair)."""
+    from msa_tpu.models.speaker import VoiceSpec, synth_voice
+
+    model, params, _ = trained_embedder
+    ws = model.cfg.window_samples
+    voices = [
+        VoiceSpec(f0=120, formants=(650, 1100, 2600)),
+        VoiceSpec(f0=210, formants=(450, 1600, 2900)),
+        VoiceSpec(f0=210, formants=(850, 2100, 3300)),  # same pitch as #2
+    ]
+    embs = []
+    for v in voices:
+        utts = np.stack(
+            [
+                synth_voice(rng, v, model.cfg.window_seconds, model.cfg.sample_rate)[:ws]
+                for _ in range(4)
+            ]
+        )
+        embs.append(np.asarray(model.embed_windows(params, utts)))
+    within, across = [], []
+    for i, a in enumerate(embs):
+        within.append(np.mean(a @ a.T - np.eye(len(a))))
+        for j, b in enumerate(embs):
+            if i < j:
+                across.append(np.mean(a @ b.T))
+    assert min(within) > max(across) + 0.05, (within, across)
+
+
+def test_neural_diarizer_separates_three_voices_same_pitch_pair(
+    trained_embedder, rng
+):
+    """3 alternating synthetic voices (two sharing F0, differing only in
+    formants) → 3 speaker labels, alternation preserved."""
+    from msa_tpu.host.diarization import NeuralDiarizer
+    from msa_tpu.models.speaker import VoiceSpec, synth_voice
+
+    model, params, _ = trained_embedder
+    voices = {
+        "A": VoiceSpec(f0=120, formants=(650, 1100, 2600)),
+        "B": VoiceSpec(f0=210, formants=(450, 1600, 2900)),
+        "C": VoiceSpec(f0=210, formants=(850, 2100, 3300)),
+    }
+    gap = (0.0003 * rng.normal(size=int(0.8 * SR))).astype(np.float32)
+    order = ["A", "B", "C", "A", "B", "C"]
+    clips = []
+    for who in order:
+        clips.append(synth_voice(rng, voices[who], 2.0, SR))
+        clips.append(gap)
+    x = np.concatenate(clips)
+
+    d = NeuralDiarizer(
+        model, params, min_pause_duration=0.5, max_speakers=4, threshold=0.5
+    )
+    segs = d.diarize(x, SR)
+    assert len(segs) == len(order), [
+        (round(s["start"], 2), round(s["end"], 2)) for s in segs
+    ]
+    labels = [s["speaker"] for s in segs]
+    assert len(set(labels)) == 3, f"expected 3 speakers, got {labels}"
+    # alternation: label sequence repeats with period 3
+    assert labels[:3] == labels[3:6], labels
+    assert labels[0] == "SPEAKER_00"  # stable first-appearance naming
