@@ -61,11 +61,15 @@ class DiarizationConfig:
     """Mirrors DIARIZATION_CONFIG (reference config.py:67-72)."""
 
     # pluggable; reference used pyannote. "clustering" = energy VAD +
-    # MFCC-signature k-means (multi-speaker); degrades to single-speaker
-    # labels when the audio has one voice.
+    # MFCC-signature k-means (multi-speaker); "neural" = learned speaker
+    # embeddings (models/speaker.py) + agglomerative clustering, used when
+    # ``speaker_weights`` exists; degrades to single-speaker labels when the
+    # audio has one voice.
     model: str = "clustering"
     min_speakers: int = 1
     max_speakers: int = 4
+    # trained SpeakerEmbeddingNet checkpoint (training/train_speaker.py)
+    speaker_weights: str = "checkpoints/speaker_embedder.msgpack"
 
 
 @dataclass(frozen=True)
@@ -151,6 +155,11 @@ class PipelineConfig:
     # "full" = production encoder sizes; "tiny" = test-scale models (same
     # graph, fast compile). Env override: MSA_MODEL_SCALE.
     model_scale: str = "full"
+    # Pre-compile every (batch, token-bucket) graph shape at processor start
+    # so no live window/batch ever hits a mid-stream compile stall (the
+    # production CLI enables this; tests keep it off to stay fast). Env
+    # override: MSA_PRECOMPILE=1.
+    precompile: bool = False
 
 
 @dataclass(frozen=True)
@@ -200,6 +209,14 @@ class SystemConfig:
                 cfg,
                 pipeline=dataclasses.replace(
                     cfg.pipeline, model_scale=os.environ["MSA_MODEL_SCALE"]
+                ),
+            )
+        if os.getenv("MSA_PRECOMPILE"):
+            cfg = dataclasses.replace(
+                cfg,
+                pipeline=dataclasses.replace(
+                    cfg.pipeline,
+                    precompile=os.environ["MSA_PRECOMPILE"] not in ("0", "false", ""),
                 ),
             )
         return cfg

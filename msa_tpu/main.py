@@ -62,6 +62,12 @@ def main(argv=None) -> int:
         config = dataclasses.replace(
             config, model=dataclasses.replace(config.model, hf_token=args.hf_token)
         )
+    if "MSA_PRECOMPILE" not in os.environ:
+        # production CLI default: pay all graph compiles up front so no live
+        # window or batch ever stalls on a mid-run compile
+        config = dataclasses.replace(
+            config, pipeline=dataclasses.replace(config.pipeline, precompile=True)
+        )
 
     results_path = Path(args.output_dir) / "results.json"
     results_path.parent.mkdir(parents=True, exist_ok=True)

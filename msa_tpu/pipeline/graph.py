@@ -214,12 +214,16 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def pad_segment_inputs(inp: SegmentInputs, multiple: int) -> Tuple[SegmentInputs, int]:
-    """Pad the batch axis to a multiple of the data-mesh size. Padded rows
-    have every modality unavailable, so they cost the default-vector path and
-    are sliced away by the caller. Returns (padded, real_count)."""
+def pad_segment_inputs(
+    inp: SegmentInputs, multiple: int, to: int = 0
+) -> Tuple[SegmentInputs, int]:
+    """Pad the batch axis to a multiple of the data-mesh size — or, with
+    ``to`` set, to exactly that size (one static batch shape for the whole
+    run, so the final short batch never triggers a fresh compile). Padded
+    rows have every modality unavailable, so they cost the default-vector
+    path and are sliced away by the caller. Returns (padded, real_count)."""
     real = inp.frames.shape[0]
-    padded = ((real + multiple - 1) // multiple) * multiple
+    padded = ((max(real, to) + multiple - 1) // multiple) * multiple
     if padded == real:
         return inp, real
     extra = padded - real
@@ -492,6 +496,37 @@ class SegmentPipeline:
         """Execute the jitted graph. Returns (outputs, (last_landmarks,
         last_detected)) — the carry for the next streaming window."""
         return self._jitted(self.models.params_tree(), inputs)
+
+    def warmup(
+        self,
+        batch_sizes: Tuple[int, ...] = (1,),
+        token_buckets: Tuple[int, ...] = (32, 128, 512),
+        samples: int = 80_000,
+    ) -> int:
+        """Pre-compile the graph for every (batch, token-bucket) static shape
+        so no live call hits a mid-stream compile stall (VERDICT r1 #5). Runs
+        the jitted graph on zeros per shape — the call path (not AOT
+        ``lower().compile()``) so the compilations land in the SAME jit cache
+        subsequent ``run()`` calls hit. A host fetch forces completion under
+        the axon tunnel. Returns the number of shapes compiled."""
+        params = self.models.params_tree()
+        token_cap = self.models.text.cfg.max_positions
+        buckets = tuple(dict.fromkeys(min(t, token_cap) for t in token_buckets))
+        n = 0
+        for b in batch_sizes:
+            for t in buckets:
+                # with a mesh, jit's declared in_shardings place these
+                # numpy inputs on the data axis automatically
+                inp = SegmentInputs.zeros(self.models, b, samples=samples, tokens=t)
+                out, _ = self._jitted(params, inp)
+                np.asarray(out["fused"])
+                n += 1
+        return n
+
+    def cache_size(self) -> int:
+        """Number of compiled shapes in the jit cache — lets tests assert
+        zero retraces after :meth:`warmup`."""
+        return self._jitted._cache_size()
 
     def weights(self) -> Dict[str, float]:
         return fusion_lib.get_weights(self.models.fusion, self.models.fusion_params)

@@ -68,7 +68,9 @@ class OfflineProcessor:
         self.models = models
         self.mesh = mesh if mesh is not None else mesh_lib.data_parallel_mesh()
         self.diarizer = diarizer or make_diarizer(
-            self.config.diarization.model, self.config.processing
+            self.config.diarization.model,
+            self.config.processing,
+            self.config.diarization,
         )
         self.transcriber = transcriber or make_transcriber(
             self.config.transcription.model, self.config.transcription.language
@@ -77,6 +79,11 @@ class OfflineProcessor:
         # static token-length buckets — each compiles once, shortest
         # sufficient bucket wins per batch
         self.token_buckets = (32, 128, 512)
+        # every dispatched batch is padded to ONE static shape (a multiple of
+        # the data-mesh axis), so the final short batch reuses the compiled
+        # graph instead of triggering a fresh compile
+        n_data = self.mesh.shape[mesh_lib.DATA_AXIS] if self.mesh else 1
+        self._padded_batch = mesh_lib.pad_to_multiple(self.batch_size, n_data)
         self._pipeline: Optional[SegmentPipeline] = None
         self._frame_hw = (480, 640)
         from msa_tpu.utils.profiling import StageTimer
@@ -89,6 +96,15 @@ class OfflineProcessor:
             self._pipeline = SegmentPipeline(
                 self.models, self.config, original_frame_hw=frame_hw, mesh=self.mesh
             )
+            if self.config.pipeline.precompile:
+                # compile every token bucket up front (VERDICT r1 #5): after
+                # this, zero retraces — any batch hits a cached graph
+                with self.timer.stage("precompile"):
+                    self._pipeline.warmup(
+                        batch_sizes=(self._padded_batch,),
+                        token_buckets=self.token_buckets,
+                        samples=self.config.pipeline.segment_samples,
+                    )
         return self._pipeline
 
     # ------------------------------------------------------------------
@@ -266,7 +282,9 @@ class OfflineProcessor:
                 inp.has_prev = has_prev
 
                 n_data = self.mesh.shape[mesh_lib.DATA_AXIS] if self.mesh else 1
-                inp_padded, real = pad_segment_inputs(inp, n_data)
+                inp_padded, real = pad_segment_inputs(
+                    inp, n_data, to=self._padded_batch
+                )
                 with self.timer.stage("dispatch"):
                     out, _carry = pipeline.run(inp_padded)
                 # The movement carry stays ON DEVICE: the next batch's dispatch

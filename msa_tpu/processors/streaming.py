@@ -187,7 +187,9 @@ class StreamingProcessor:
         self.frame_source = frame_source
         self.audio_source = audio_source
         self.diarizer = diarizer or make_diarizer(
-            self.config.diarization.model, self.config.processing
+            self.config.diarization.model,
+            self.config.processing,
+            self.config.diarization,
         )
         if visualizer is None:
             from msa_tpu.visualizers.overlay import StreamingVisualizer
@@ -211,6 +213,21 @@ class StreamingProcessor:
             self._pipeline = SegmentPipeline(
                 self.models, self.config, original_frame_hw=frame_hw
             )
+            if self.config.pipeline.precompile:
+                # compile the B=1 graph for EVERY token bucket up front, so
+                # the first live window carrying a transcript doesn't hit a
+                # multi-second compile mid-stream (VERDICT r1 #5)
+                t0 = time.perf_counter()
+                n = self._pipeline.warmup(
+                    batch_sizes=(1,),
+                    token_buckets=(32, 128, 512),
+                    samples=self.config.pipeline.segment_samples,
+                )
+                logger.info(
+                    "precompiled %d graph shapes in %.1fs",
+                    n,
+                    time.perf_counter() - t0,
+                )
         return self._pipeline
 
     def _match_speaker(self, waveform: np.ndarray, sr: int) -> str:

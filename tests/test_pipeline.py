@@ -14,9 +14,8 @@ B, SAMPLES, TOKENS = 3, 4000, 16
 
 
 @pytest.fixture(scope="module")
-def pipeline():
-    models = PipelineModels.tiny(seed=0)
-    return SegmentPipeline(models, original_frame_hw=(480, 640))
+def pipeline(tiny_models):
+    return SegmentPipeline(tiny_models, original_frame_hw=(480, 640))
 
 
 @pytest.fixture(scope="module")
@@ -141,3 +140,21 @@ def test_second_call_does_not_retrace(pipeline, inputs):
     n0 = pipeline._jitted._cache_size()
     pipeline.run(inputs)
     assert pipeline._jitted._cache_size() == n0
+
+
+def test_warmup_precompiles_all_buckets_zero_retraces(pipeline):
+    """After warmup over every (batch, token-bucket) shape, live calls of any
+    bucket hit the cache — zero retraces (VERDICT r1 #5). Buckets above the
+    tiny model's max_positions dedupe to its cap."""
+    buckets = (8, TOKENS)
+    n = pipeline.warmup(
+        batch_sizes=(B,), token_buckets=buckets, samples=SAMPLES
+    )
+    assert n == len(buckets)
+    n0 = pipeline.cache_size()
+    models = pipeline.models
+    for tokens in buckets:
+        inp = SegmentInputs.zeros(models, B, samples=SAMPLES, tokens=tokens)
+        out, _ = pipeline.run(inp)
+        assert np.isfinite(np.asarray(out["fused"])).all()
+    assert pipeline.cache_size() == n0
