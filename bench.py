@@ -6,8 +6,14 @@ config.py:43), so throughput = segments/sec × 5. The measured graph is the
 FULL flagship pipeline — face landmark net + geometry + crop + emotion CNN,
 audio DSP + wav2vec2-style encoder, BERT trunk + heads, fusion MLP — i.e.
 everything the reference pays per segment (SURVEY §6), as one jitted XLA
-program over production shapes (192×192 frames, 80 000 audio samples, 512
-tokens).
+program over production shapes (192×192 frames, 80 000 audio samples).
+
+``value`` stays the honest 512-token worst case (every transcript maxed out).
+The production path buckets transcripts to the shortest sufficient token
+length (processors/offline.py), so the JSON also reports the full bucket
+spectrum (tokens → vid-s/s) and the p50 single-segment device latency (the
+streaming path: batch 1, no-text 32-token bucket), making round-over-round
+deltas self-contained (VERDICT r1 item #10).
 
 ``vs_baseline`` is the ratio against the driver-assigned target of 50×
 realtime per chip (BASELINE.json:5) — 1.0 means the target is met exactly.
@@ -22,16 +28,14 @@ import numpy as np
 
 SEGMENT_SECONDS = 5.0
 TARGET_X_REALTIME = 50.0
+TOKEN_BUCKETS = (32, 128, 512)
 
 
-def bench_full_pipeline(batch: int = 64, iters: int = 10, warmup: int = 2):
-    from msa_tpu.pipeline.graph import PipelineModels, SegmentInputs, SegmentPipeline
-
-    models = PipelineModels.initialize(seed=0)
-    pipeline = SegmentPipeline(models)
+def _make_inputs(models, batch: int, tokens: int):
+    from msa_tpu.pipeline.graph import SegmentInputs
 
     rng = np.random.default_rng(0)
-    inp = SegmentInputs.zeros(models, batch)
+    inp = SegmentInputs.zeros(models, batch, tokens=tokens)
     inp.frames = rng.integers(0, 255, size=inp.frames.shape, dtype=np.uint8)
     inp.audio = (0.1 * rng.normal(size=inp.audio.shape)).astype(np.float32)
     inp.token_ids = rng.integers(
@@ -40,7 +44,10 @@ def bench_full_pipeline(batch: int = 64, iters: int = 10, warmup: int = 2):
     inp.token_mask = np.ones_like(inp.token_mask)
     inp.completeness = rng.random(batch).astype(np.float32)
     inp.relevance = rng.random(batch).astype(np.float32)
+    return inp
 
+
+def _throughput(pipeline, inp, batch: int, iters: int, warmup: int) -> float:
     import jax
 
     inp = jax.device_put(inp)
@@ -56,20 +63,55 @@ def bench_full_pipeline(batch: int = 64, iters: int = 10, warmup: int = 2):
         out, _ = pipeline.run(inp)
     np.asarray(out["fused"])  # forces completion of the whole in-order queue
     dt = time.perf_counter() - t0
+    return batch * iters / dt * SEGMENT_SECONDS
 
-    segments_per_sec = batch * iters / dt
-    return segments_per_sec * SEGMENT_SECONDS, segments_per_sec
+
+def bench_full_pipeline(batch: int = 64, iters: int = 10, warmup: int = 2):
+    from msa_tpu.pipeline.graph import PipelineModels, SegmentPipeline
+
+    models = PipelineModels.initialize(seed=0)
+    pipeline = SegmentPipeline(models)
+
+    buckets = {
+        tokens: round(
+            _throughput(pipeline, _make_inputs(models, batch, tokens), batch, iters, warmup),
+            2,
+        )
+        for tokens in TOKEN_BUCKETS
+    }
+
+    # p50 streaming-segment latency: batch 1 on the no-text (32-token) bucket —
+    # the exact device graph StreamingProcessor.process_segment dispatches
+    # (live streaming passes text="", D9-faithful), fetch-synchronized.
+    lat_inp = _make_inputs(models, 1, TOKEN_BUCKETS[0])
+    import jax
+
+    lat_inp = jax.device_put(lat_inp)
+    for _ in range(2):
+        out, _ = pipeline.run(lat_inp)
+        np.asarray(out["fused"])
+    lats = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        out, _ = pipeline.run(lat_inp)
+        np.asarray(out["fused"])
+        lats.append((time.perf_counter() - t0) * 1000.0)
+    p50_ms = float(np.percentile(lats, 50))
+    return buckets, p50_ms
 
 
 def main():
-    video_seconds_per_sec, segs = bench_full_pipeline()
+    buckets, p50_ms = bench_full_pipeline()
+    worst = buckets[max(TOKEN_BUCKETS)]
     print(
         json.dumps(
             {
                 "metric": "offline_video_seconds_per_sec_per_chip",
-                "value": round(video_seconds_per_sec, 2),
+                "value": worst,
                 "unit": "video-seconds/sec/chip",
-                "vs_baseline": round(video_seconds_per_sec / TARGET_X_REALTIME, 3),
+                "vs_baseline": round(worst / TARGET_X_REALTIME, 3),
+                "buckets": {str(k): v for k, v in buckets.items()},
+                "p50_segment_latency_ms": round(p50_ms, 2),
             }
         )
     )
