@@ -91,9 +91,42 @@ class ModelEvaluator:
             y_pred.extend([pred] * len(truth))
         return y_true, y_pred
 
+    def _scores(self, segments, ground_truth, modality):
+        """(y_true labels, [n, 7] probability scores in PT-UI order) for
+        score-based AUC. Per-modality records carry true probability vectors
+        in CANONICAL order (``face_probs``/``audio_probs``/``text_probs``,
+        processors/offline.py); the fused record is raw logits in the PT-UI
+        argmax convention → softmax. Returns (None, None) when the records
+        predate the prob export (binarized fallback applies)."""
+        key_of = lambda r: f"{r['start']:.1f}-{r['end']:.1f}"  # noqa: E731
+        y_true: List[str] = []
+        scores: List[np.ndarray] = []
+        for r in segments:
+            truth = ground_truth.get(key_of(r), ["neutro"])
+            if modality == "fused":
+                v = np.asarray(r["fused_vec"], np.float64)[:7]
+                e = np.exp(v - v.max())
+                s = e / e.sum()
+            else:
+                probs = r.get(f"{modality}_probs")
+                if probs is None:
+                    return None, None
+                s = emotions.reorder_np(
+                    np.asarray(probs, np.float64)[:7], emotions.CANONICAL_TO_PT_UI
+                )
+            y_true.extend(truth)
+            scores.extend([s] * len(truth))
+        return y_true, np.asarray(scores)
+
     def _calculate_metrics(self, segments, ground_truth, modality) -> Dict:
-        """accuracy + classification_report + per-emotion ROC-AUC
-        (inference.py:148-170)."""
+        """accuracy + classification_report (inference.py:148-156) +
+        per-emotion ROC-AUC.
+
+        AUC repair (documented intent): the reference computes AUC on
+        BINARIZED argmax predictions (inference.py:158-168), which is
+        degenerate (one threshold). Probability vectors are available here,
+        so AUC uses the real per-emotion scores; the binarized form remains
+        the fallback for prob-less records."""
         from sklearn.metrics import (
             accuracy_score,
             classification_report,
@@ -109,9 +142,14 @@ class ModelEvaluator:
                 y_true, y_pred, labels=self.emotions, output_dict=True, zero_division=0
             ),
         }
-        for emotion in self.emotions:
-            t = [1 if e == emotion else 0 for e in y_true]
-            p = [1 if e == emotion else 0 for e in y_pred]
+        ys, scores = self._scores(segments, ground_truth, modality)
+        for i, emotion in enumerate(self.emotions):
+            if scores is not None:
+                t = [1 if e == emotion else 0 for e in ys]
+                p = scores[:, i]
+            else:  # reference-faithful binarized fallback
+                t = [1 if e == emotion else 0 for e in y_true]
+                p = [1 if e == emotion else 0 for e in y_pred]
             try:
                 metrics[f"roc_auc_{emotion}"] = float(roc_auc_score(t, p))
             except ValueError:
