@@ -21,6 +21,13 @@ import jax  # noqa: E402
 # wins over the env var — the config update is the reliable override.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: tiny-model pipeline graphs recompile
+# identically across test modules (and across suite re-runs) — caching them
+# on disk cuts suite wall time substantially (VERDICT r1 #9).
+jax.config.update("jax_compilation_cache_dir", "/tmp/msa_tpu_jit_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -28,6 +35,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_models():
+    """ONE tiny PipelineModels shared across all test modules — params are
+    read-only, and sharing avoids re-initializing (and re-jitting against)
+    fresh model objects per module (VERDICT r1 #9)."""
+    from msa_tpu.pipeline.graph import PipelineModels
+
+    return PipelineModels.tiny(seed=0)
 
 
 def np_layer_norm(x: np.ndarray, eps: float = 1e-5) -> np.ndarray:

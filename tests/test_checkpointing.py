@@ -11,8 +11,8 @@ from msa_tpu.pipeline.graph import PipelineModels, SegmentInputs, SegmentPipelin
 from msa_tpu.training.train_fusion import train
 
 
-def test_pipeline_checkpoint_roundtrip(tmp_path, rng):
-    models = PipelineModels.tiny(seed=0)
+def test_pipeline_checkpoint_roundtrip(tmp_path, rng, tiny_models):
+    models = tiny_models
     path = str(tmp_path / "pipe.msgpack")
     save_pipeline(path, models)
     restored = load_pipeline(path)

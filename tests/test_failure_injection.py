@@ -17,9 +17,7 @@ from msa_tpu.processors.streaming import (
 SAMPLES = 4000
 
 
-@pytest.fixture(scope="module")
-def tiny_models():
-    return PipelineModels.tiny(seed=0)
+# tiny_models comes from conftest.py (session-scoped, shared across modules)
 
 
 def _cfg(tmp_path):

@@ -23,9 +23,7 @@ import dataclasses
 SAMPLES = 4000  # tiny static audio window for fast compiles
 
 
-@pytest.fixture(scope="module")
-def tiny_models():
-    return PipelineModels.tiny(seed=0)
+# tiny_models comes from conftest.py (session-scoped, shared across modules)
 
 
 def _tiny_config(tmp_path):
