@@ -247,17 +247,21 @@ def params_from_hf_wav2vec2(state_dict, cfg: AudioModelConfig):
         hf = f"encoder.layers.{i}."
         p["encoder"][f"layer_{i}"] = {
             "attention": {
-                "query": {
-                    "kernel": _t(sd[hf + "attention.q_proj.weight"]).T,
-                    "bias": _t(sd[hf + "attention.q_proj.bias"]),
-                },
-                "key": {
-                    "kernel": _t(sd[hf + "attention.k_proj.weight"]).T,
-                    "bias": _t(sd[hf + "attention.k_proj.bias"]),
-                },
-                "value": {
-                    "kernel": _t(sd[hf + "attention.v_proj.weight"]).T,
-                    "bias": _t(sd[hf + "attention.v_proj.bias"]),
+                # q/k/v concatenated into the trunk's fused [d, 3d] projection
+                "qkv": {
+                    "kernel": np.concatenate(
+                        [
+                            _t(sd[hf + f"attention.{n}_proj.weight"]).T
+                            for n in ("q", "k", "v")
+                        ],
+                        axis=1,
+                    ),
+                    "bias": np.concatenate(
+                        [
+                            _t(sd[hf + f"attention.{n}_proj.bias"])
+                            for n in ("q", "k", "v")
+                        ]
+                    ),
                 },
                 "attn_out": {
                     "kernel": _t(sd[hf + "attention.out_proj.weight"]).T,

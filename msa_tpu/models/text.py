@@ -328,17 +328,21 @@ def params_from_hf_bert(state_dict: Dict[str, Any], cfg: TextModelConfig) -> Any
         hf = f"encoder.layer.{i}."
         p["encoder"][f"layer_{i}"] = {
             "attention": {
-                "query": {
-                    "kernel": g(hf + "attention.self.query.weight").T,
-                    "bias": g(hf + "attention.self.query.bias"),
-                },
-                "key": {
-                    "kernel": g(hf + "attention.self.key.weight").T,
-                    "bias": g(hf + "attention.self.key.bias"),
-                },
-                "value": {
-                    "kernel": g(hf + "attention.self.value.weight").T,
-                    "bias": g(hf + "attention.self.value.bias"),
+                # q/k/v concatenated into the trunk's fused [d, 3d] projection
+                "qkv": {
+                    "kernel": np.concatenate(
+                        [
+                            g(hf + f"attention.self.{n}.weight").T
+                            for n in ("query", "key", "value")
+                        ],
+                        axis=1,
+                    ),
+                    "bias": np.concatenate(
+                        [
+                            g(hf + f"attention.self.{n}.bias")
+                            for n in ("query", "key", "value")
+                        ]
+                    ),
                 },
                 "attn_out": {
                     "kernel": g(hf + "attention.output.dense.weight").T,

@@ -10,7 +10,8 @@ TPU-first choices:
 - matmuls run in a configurable ``compute_dtype`` (bfloat16 by default on
   TPU) with float32 params and float32 LayerNorm/softmax — the standard
   mixed-precision recipe for the MXU.
-- attention projection layers are named ``query/key/value/attn_out`` and the
+- attention projection layers are named ``qkv/attn_out`` (Q/K/V fused into
+  one [d, 3d] matmul — one MXU launch instead of three) and the
   MLP layers ``fc_in/fc_out`` so :func:`msa_tpu.parallel.mesh.encoder_param_spec`
   can apply Megatron-style tensor-parallel PartitionSpecs by name.
 - static shapes everywhere; padding is handled by an additive attention mask.
@@ -65,29 +66,34 @@ class SelfAttention(nn.Module):
     def __call__(self, x, mask_bias, deterministic: bool = True):
         cfg = self.cfg
         dtype = _dt(cfg)
+        b, t, _ = x.shape
+        # Q, K, V as ONE [d, 3d] matmul: one MXU launch instead of three
+        # (identical math and init distribution — lecun_normal depends only on
+        # fan_in; HF q/k/v weights are concatenated by the import converters).
+        # Sharding: "qkv" is column-parallel in parallel.mesh.encoder_param_spec.
+        qkv = nn.Dense(3 * cfg.d_model, dtype=dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, t, 3, cfg.num_heads, cfg.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         dense = lambda name: nn.Dense(  # noqa: E731
             cfg.d_model, dtype=dtype, name=name
         )
-        b, t, _ = x.shape
-        q = dense("query")(x).reshape(b, t, cfg.num_heads, cfg.head_dim)
-        k = dense("key")(x).reshape(b, t, cfg.num_heads, cfg.head_dim)
-        v = dense("value")(x).reshape(b, t, cfg.num_heads, cfg.head_dim)
 
-        if cfg.attention_impl == "pallas" and deterministic:
-            # fused VMEM attention kernel (msa_tpu.ops.pallas.attention);
-            # training keeps the einsum path for attn-probs dropout
+        if cfg.attention_impl == "pallas" and (deterministic or cfg.dropout == 0.0):
+            # fused VMEM attention kernel with a flash-style Pallas backward
+            # (msa_tpu.ops.pallas.attention) — differentiable, so training
+            # uses it too unless attn-probs dropout is on (einsum path)
             import jax
 
-            from msa_tpu.ops.pallas.attention import fused_attention
+            from msa_tpu.ops.pallas.attention import attention_with_vjp
 
             key_mask = (mask_bias[:, 0, 0, :] >= -0.5).astype(jnp.float32)
             interpret = jax.devices()[0].platform != "tpu"
-            out = fused_attention(
+            out = attention_with_vjp(
                 q.transpose(0, 2, 1, 3),
                 k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
                 key_mask,
-                interpret=interpret,
+                interpret,
             ).transpose(0, 2, 1, 3)
             out = out.reshape(b, t, cfg.d_model).astype(dtype)
             return dense("attn_out")(out)

@@ -1,9 +1,9 @@
-"""Fused multi-head attention — Pallas TPU kernel.
+"""Fused multi-head attention — Pallas TPU kernels (forward + backward).
 
 The encoders' attention is the hottest non-matmul-bound op in the pipeline
 (BERT trunk: 12 layers × [B, 12, 512, 64]; audio encoder: 250 frames). The
 XLA fallback materializes the [B, H, T, T] probability tensor in HBM between
-three kernels; this Pallas kernel keeps scores/softmax/context for one query
+three kernels; these Pallas kernels keep scores/softmax/context for one query
 block entirely in VMEM — one HBM read of Q/K/V, one write of O.
 
 Design (per pallas_guide.md):
@@ -13,10 +13,20 @@ Design (per pallas_guide.md):
 - key padding handled by an additive −1e9 bias from the [B, T] mask.
 - ragged T pads to the 128-lane tile and masks the padded keys, so one
   compiled kernel serves 512-token text and 250-frame audio.
+- row statistics (logsumexp) are emitted as a [B, H, 1, T] side output so the
+  backward never re-runs the softmax reduction.
 
-For much longer sequences the kernel should stream K/V blocks with an
-online-softmax accumulator (flash attention proper); at T ≤ 512 the single
-pass is faster (no rescaling traffic) and numerically identical.
+Backward (flash-style, VERDICT r1 #8): with L = rowwise logsumexp and
+Δ = rowsum(dO ∘ O), the standard gradients are
+    P  = exp(S − L),     dV = Pᵀ·dO,
+    dS = P ∘ (dO·Vᵀ − Δ),  dQ = scale·dS·K,  dK = scale·dSᵀ·Q.
+Two kernels: ``_bwd_dq_kernel`` streams K/V blocks per Q block; l
+``_bwd_dkv_kernel`` streams Q/dO blocks per K/V block. Both recompute the
+P tile in VMEM (never materialized in HBM).
+
+For sequences beyond the single-pass VMEM budget the blockwise
+:func:`flash_attention` (online softmax) takes over; the differentiable
+wrapper :func:`attention_with_vjp` picks per T and shares the same backward.
 """
 
 from __future__ import annotations
@@ -38,10 +48,16 @@ except ImportError:  # pragma: no cover
 
 _LANE = 128  # TPU lane width: last-dim tiles are 128
 
+# T up to this bound runs the single-pass kernel (full K/V per head in VMEM);
+# longer sequences stream K/V blockwise with the online-softmax kernel.
+_SINGLE_PASS_MAX_T = 512
 
-def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
-    k = k_ref[0, 0].astype(jnp.float32)  # [T, D]
+
+def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale: float):
+    # dots run on the NATIVE dtype (bf16 inputs → full-rate bf16 MXU) with
+    # f32 accumulation via preferred_element_type; softmax stays f32
+    q = q_ref[0, 0]  # [BQ, D]
+    k = k_ref[0, 0]  # [T, D]
     v = v_ref[0, 0]  # [T, D]
     m = mask_ref[0, 0]  # [T]
     s = jax.lax.dot_general(
@@ -51,9 +67,10 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32,
     )
     s = s * scale + jnp.where(m > 0, 0.0, -1e9)[None, :]
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    smax = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - smax)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
     o = jax.lax.dot_general(
         p.astype(v.dtype),
         v,
@@ -61,13 +78,67 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         preferred_element_type=jnp.float32,
     )
     o_ref[0, 0] = o.astype(o_ref.dtype)
+    lse_ref[0, 0, 0] = (smax[:, 0] + jnp.log(denom[:, 0])).astype(lse_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _pad_qkvm(q, k, v, key_mask, t_pad, d_pad):
+    t, d = q.shape[2], q.shape[3]
+    if t_pad != t or d_pad != d:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, d_pad - d)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        key_mask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
+    return q, k, v, key_mask
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret", "pad_d"))
+def _fused_attention_lse(
+    q, k, v, key_mask, block_q: int = 128, interpret: bool = False, pad_d: bool = False
+):
+    """Single-pass fused attention → (o [B,H,T,D], lse [B,H,T]).
+
+    ``pad_d=False`` keeps head_dim-64 blocks unpadded: Mosaic packs the
+    64-wide minormost dim into (…,128) VMEM tiles internally, which wastes
+    half the VMEM tile but avoids THREE full HBM pad copies of Q/K/V (and
+    halves the kernel's K/V read traffic) — measured faster end to end."""
+    b, h, t, d = q.shape
+    scale = 1.0 / np.sqrt(d)
+    t_pad = _round_up(t, _LANE)
+    d_pad = _round_up(d, _LANE) if pad_d else _round_up(d, 64)
+    bq = min(block_q, t_pad)
+    q, k, v, key_mask = _pad_qkvm(q, k, v, key_mask, t_pad, d_pad)
+    # [B, 1, T]: a (1, 1, T) block satisfies the TPU tiling rule (the
+    # second-to-last block dim equals the full array dim)
+    key_mask3 = key_mask[:, None, :]
+
+    grid = (b, h, t_pad // bq)
+    out, lse = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, t_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, t_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, t_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi)),
+        ),
+        interpret=interpret,
+    )(q, k, v, key_mask3)
+    return out[:, :, :t, :d], lse[:, :, 0, :t]
+
+
 def fused_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -81,37 +152,7 @@ def fused_attention(
     q, k, v: [B, H, T, D]; key_mask: [B, T] (1 = attend). Returns [B, H, T, D]
     in q's dtype. T and D are padded to TPU tiles internally.
     """
-    b, h, t, d = q.shape
-    scale = 1.0 / np.sqrt(d)
-    t_pad = _round_up(t, _LANE)
-    d_pad = _round_up(d, _LANE)
-    bq = min(block_q, t_pad)
-
-    if t_pad != t or d_pad != d:
-        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, d_pad - d)]
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-        key_mask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
-    # [B, 1, T]: a (1, 1, T) block satisfies the TPU tiling rule (the
-    # second-to-last block dim equals the full array dim)
-    key_mask3 = key_mask[:, None, :]
-
-    grid = (b, h, t_pad // bq)
-    out = pl.pallas_call(
-        functools.partial(_attention_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d_pad), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, t_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, t_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0)),
-        interpret=interpret,
-    )(q, k, v, key_mask3)
-    return out[:, :, :t, :d]
+    return _fused_attention_lse(q, k, v, key_mask, block_q, interpret)[0]
 
 
 def reference_attention(q, k, v, key_mask):
@@ -123,35 +164,203 @@ def reference_attention(q, k, v, key_mask):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+# --- flash-style backward kernels ---------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, mask_ref, dq_ref, acc_scr,
+    *, scale: float,
+):
+    """dQ = scale · Σ_k [P ∘ (dO·Vᵀ − Δ)]·K — K/V stream over the innermost
+    grid dim, accumulator in VMEM."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]  # [BQ, D]
+    k = k_ref[0, 0]  # [BK, D]
+    v = v_ref[0, 0]  # [BK, D]
+    g = g_ref[0, 0]  # [BQ, D]
+    lse = lse_ref[0, 0, 0]  # [BQ]
+    delta = delta_ref[0, 0, 0]  # [BQ]
+    m = mask_ref[0, 0]  # [BK]
+
+    s = jax.lax.dot_general(  # native-dtype MXU dot, f32 accumulation
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + jnp.where(m > 0, 0.0, -1e9)[None, :]
+    p = jnp.exp(s - lse[:, None])  # [BQ, BK] f32
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta[:, None])
+    acc_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = (acc_scr[:] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    k_ref, v_ref, q_ref, g_ref, lse_ref, delta_ref, mask_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, scale: float,
+):
+    """dV = Σ_q Pᵀ·dO;  dK = scale · Σ_q [P ∘ (dO·Vᵀ − Δ)]ᵀ·Q — Q/dO stream
+    over the innermost grid dim."""
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    k = k_ref[0, 0]  # [BK, D]
+    v = v_ref[0, 0]  # [BK, D]
+    q = q_ref[0, 0]  # [BQ, D]
+    g = g_ref[0, 0]  # [BQ, D]
+    lse = lse_ref[0, 0, 0]  # [BQ]
+    delta = delta_ref[0, 0, 0]  # [BQ]
+    m = mask_ref[0, 0]  # [BK]
+
+    st = jax.lax.dot_general(  # Sᵀ: [BK, BQ]; native-dtype MXU, f32 accum
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    st = st * scale + jnp.where(m > 0, 0.0, -1e9)[:, None]
+    pt = jnp.exp(st - lse[None, :])  # Pᵀ [BK, BQ] f32
+    dv_scr[:] += jax.lax.dot_general(
+        pt.astype(g.dtype), g, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpt = jax.lax.dot_general(  # (dO·Vᵀ)ᵀ = V·dOᵀ: [BK, BQ]
+        v, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dst = pt * (dpt - delta[None, :])
+    dk_scr[:] += jax.lax.dot_general(
+        dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def attention_bwd(
+    q, k, v, key_mask, lse, o, g,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+):
+    """Flash-style Pallas backward. Inputs are the UNPADDED forward operands,
+    the forward output ``o`` and row logsumexp ``lse``; returns (dq, dk, dv)
+    in the operands' dtypes. The P tile is recomputed in VMEM from (q, k,
+    lse) — never materialized in HBM (VERDICT r1 #8)."""
+    b, h, t, d = q.shape
+    scale = 1.0 / np.sqrt(d)
+    t_pad = _round_up(t, max(_LANE, block_q, block_k))
+    d_pad = _round_up(d, _LANE)
+    bq = min(block_q, t_pad)
+    bk = min(block_k, t_pad)
+
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [B,H,T]
+
+    qp, kp, vp, maskp = _pad_qkvm(q, k, v, key_mask, t_pad, d_pad)
+    pad_t = t_pad - t
+    gp = jnp.pad(g, [(0, 0), (0, 0), (0, pad_t), (0, d_pad - d)])
+    lse4 = jnp.pad(lse, [(0, 0), (0, 0), (0, pad_t)])[:, :, None, :]
+    delta4 = jnp.pad(delta, [(0, 0), (0, 0), (0, pad_t)])[:, :, None, :]
+    mask3 = maskp[:, None, :]
+
+    row4 = lambda: pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d_pad), q.dtype),
+        grid=(b, h, t_pad // bq, t_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            row4(),
+            row4(),
+            pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d_pad), jnp.float32) if _HAS_PLTPU else None
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse4, delta4, mask3)
+
+    row4kv = lambda: pl.BlockSpec(
+        (1, 1, 1, bq), lambda bi, hi, ki, qi: (bi, hi, 0, qi)
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, t_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b, h, t_pad, d_pad), v.dtype),
+        ),
+        grid=(b, h, t_pad // bk, t_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            row4kv(),
+            row4kv(),
+            pl.BlockSpec((1, 1, bk), lambda bi, hi, ki, qi: (bi, 0, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d_pad), jnp.float32) if _HAS_PLTPU else None,
+            pltpu.VMEM((bk, d_pad), jnp.float32) if _HAS_PLTPU else None,
+        ],
+        interpret=interpret,
+    )(kp, vp, qp, gp, lse4, delta4, mask3)
+
+    return dq[:, :, :t, :d], dk[:, :, :t, :d], dv[:, :, :t, :d]
+
+
 # --- differentiable wrapper ---------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def attention_with_vjp(q, k, v, key_mask, interpret=False):
-    """Pallas forward + analytic backward, so the fused kernel is usable in
-    training. The backward recomputes the probability tile in plain XLA
-    (standard softmax-attention gradients); a Pallas backward kernel is the
-    natural next optimization once training moves beyond the fusion MLP."""
+    """Pallas forward + Pallas flash-style backward, so the fused kernel is
+    usable in training end to end. T beyond the single-pass VMEM budget
+    switches the forward to the blockwise online-softmax kernel; both share
+    the same backward (it is blockwise by construction)."""
+    if q.shape[2] > _SINGLE_PASS_MAX_T:
+        return flash_attention(q, k, v, key_mask, interpret=interpret)
     return fused_attention(q, k, v, key_mask, interpret=interpret)
 
 
 def _attn_fwd(q, k, v, key_mask, interpret=False):
-    out = fused_attention(q, k, v, key_mask, interpret=interpret)
-    return out, (q, k, v, key_mask)
+    if q.shape[2] > _SINGLE_PASS_MAX_T:
+        out, lse = _flash_attention_lse(q, k, v, key_mask, interpret=interpret)
+    else:
+        out, lse = _fused_attention_lse(q, k, v, key_mask, interpret=interpret)
+    return out, (q, k, v, key_mask, lse, out)
 
 
 def _attn_bwd(interpret, res, g):
-    q, k, v, key_mask = res
-    scale = 1.0 / np.sqrt(q.shape[-1])
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
-    s = s + jnp.where(key_mask[:, None, None, :] > 0, 0.0, -1e9)
-    p = jax.nn.softmax(s, axis=-1)
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32).astype(v.dtype)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)).astype(q.dtype)
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)).astype(k.dtype)
+    q, k, v, key_mask, lse, o = res
+    dq, dk, dv = attention_bwd(q, k, v, key_mask, lse, o, g, interpret=interpret)
     return dq, dk, dv, jnp.zeros_like(key_mask)
 
 
@@ -168,7 +377,8 @@ attention_with_vjp.defvjp(_attn_fwd, _attn_bwd)
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale: float,
 ):
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -179,9 +389,9 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
-    k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
-    v = v_ref[0, 0].astype(jnp.float32)  # [BK, D]
+    q = q_ref[0, 0]  # [BQ, D] — native-dtype MXU dot, f32 accumulation
+    k = k_ref[0, 0]  # [BK, D]
+    v = v_ref[0, 0]  # [BK, D]
     mask = mask_ref[0, 0]  # [BK]
 
     s = jax.lax.dot_general(
@@ -196,7 +406,8 @@ def _flash_kernel(
     p = jnp.exp(s - m_cur)  # [BQ, BK]
     l_cur = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     acc_scr[:] = acc_scr[:] * alpha + pv
     m_scr[:] = jnp.broadcast_to(m_cur, m_scr.shape)
@@ -204,14 +415,62 @@ def _flash_kernel(
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        o_ref[0, 0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(
-            o_ref.dtype
+        l_final = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / l_final).astype(o_ref.dtype)
+        lse_ref[0, 0, 0] = (m_scr[:, 0] + jnp.log(l_final[:, 0])).astype(
+            lse_ref.dtype
         )
 
 
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
+def _flash_attention_lse(
+    q, k, v, key_mask,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+):
+    """Blockwise attention with online softmax → (o, lse). Same contract as
+    :func:`_fused_attention_lse`; VMEM footprint O(BQ·BK) instead of O(BQ·T)."""
+    b, h, t, d = q.shape
+    scale = 1.0 / np.sqrt(d)
+    t_pad = _round_up(t, max(_LANE, block_k))
+    d_pad = _round_up(d, _LANE)
+    bq = min(block_q, t_pad)
+    bk = min(block_k, t_pad)
+
+    q, k, v, key_mask = _pad_qkvm(q, k, v, key_mask, t_pad, d_pad)
+    key_mask3 = key_mask[:, None, :]
+
+    grid = (b, h, t_pad // bq, t_pad // bk)
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, t_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, t_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, _LANE), jnp.float32) if _HAS_PLTPU else None,
+            pltpu.VMEM((bq, _LANE), jnp.float32) if _HAS_PLTPU else None,
+            pltpu.VMEM((bq, d_pad), jnp.float32) if _HAS_PLTPU else None,
+        ],
+        interpret=interpret,
+    )(q, k, v, key_mask3)
+    return out[:, :, :t, :d], lse[:, :, 0, :t]
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -223,40 +482,4 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Blockwise attention with online softmax. Same contract as
     :func:`fused_attention`; VMEM footprint O(BQ·BK) instead of O(BQ·T)."""
-    b, h, t, d = q.shape
-    scale = 1.0 / np.sqrt(d)
-    t_pad = _round_up(t, max(_LANE, block_k))
-    d_pad = _round_up(d, _LANE)
-    bq = min(block_q, t_pad)
-    bk = min(block_k, t_pad)
-
-    if t_pad != t or d_pad != d:
-        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, d_pad - d)]
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-        key_mask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
-    key_mask3 = key_mask[:, None, :]
-
-    grid = (b, h, t_pad // bq, t_pad // bk)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d_pad), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, 1, bk, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, 1, bk), lambda bi, hi, qi, ki: (bi, 0, ki)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, bq, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((bq, _LANE), jnp.float32) if _HAS_PLTPU else None,
-            pltpu.VMEM((bq, _LANE), jnp.float32) if _HAS_PLTPU else None,
-            pltpu.VMEM((bq, d_pad), jnp.float32) if _HAS_PLTPU else None,
-        ],
-        interpret=interpret,
-    )(q, k, v, key_mask3)
-    return out[:, :, :t, :d]
+    return _flash_attention_lse(q, k, v, key_mask, block_q, block_k, interpret)[0]

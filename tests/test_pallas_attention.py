@@ -114,3 +114,80 @@ def test_attention_vjp_matches_autodiff(rng):
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_pallas, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def _grad_pair(q, k, v, mask):
+    """(pallas-bwd grads, reference-autodiff grads) for sum-weighted loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from msa_tpu.ops.pallas.attention import attention_with_vjp
+
+    d = q.shape[-1]
+    w = jnp.arange(d, dtype=jnp.float32) / d  # non-uniform cotangent
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32) * w)
+
+    gp = jax.grad(loss(lambda q, k, v: attention_with_vjp(q, k, v, mask, True)),
+                  argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(lambda q, k, v: reference_attention(q, k, v, mask)),
+                  argnums=(0, 1, 2))(q, k, v)
+    return gp, gr
+
+
+def test_pallas_backward_ragged_t_masked_keys(rng):
+    """Flash-style Pallas backward (VERDICT r1 #8): ragged T (pads to the
+    lane tile) + masked key tail must match autodiff exactly in f32."""
+    b, h, t, d = 2, 2, 250, 64
+    q = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+    mask[1, 200:] = 0.0
+    gp, gr = _grad_pair(q, k, v, mask)
+    for name, a, b_ in zip("qkv", gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, err_msg=f"d{name}"
+        )
+
+
+def test_pallas_backward_bf16(rng):
+    """bf16 operands: the backward accumulates in f32 scratch, so grads track
+    the f32 reference within bf16 resolution."""
+    b, h, t, d = 1, 2, 128, 64
+    q = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+    import jax.numpy as jnp
+
+    gp, _ = _grad_pair(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16), mask
+    )
+    _, gr = _grad_pair(q, k, v, mask)
+    for name, a, b_ in zip("qkv", gp, gr):
+        assert a.dtype == jnp.bfloat16  # grads come back in the operand dtype
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32),
+            np.asarray(b_, np.float32),
+            atol=5e-2,
+            rtol=5e-2,
+            err_msg=f"d{name}",
+        )
+
+
+def test_pallas_backward_long_t_flash_forward(rng):
+    """T > single-pass budget routes the forward through the blockwise
+    online-softmax kernel; its lse feeds the same backward."""
+    b, h, t, d = 1, 1, 640, 32
+    q = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    k = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    v = rng.normal(size=(b, h, t, d)).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+    mask[0, 600:] = 0.0
+    gp, gr = _grad_pair(q, k, v, mask)
+    for name, a, b_ in zip("qkv", gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-4, err_msg=f"d{name}"
+        )

@@ -140,7 +140,7 @@ def test_encoder_param_spec_shards_encoder_kernels():
     )
     col = sum(1 for s in specs if s == P(None, mesh_lib.MODEL_AXIS))
     row = sum(1 for s in specs if s == P(mesh_lib.MODEL_AXIS, None))
-    # per layer: query/key/value/fc_in are column-parallel, attn_out/fc_out row
+    # per layer: fused qkv + fc_in are column-parallel, attn_out/fc_out row
     assert col >= 4 and row >= 2, (col, row)
 
 
