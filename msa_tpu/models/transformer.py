@@ -40,6 +40,11 @@ class EncoderConfig:
     # "pallas" = fused VMEM attention kernel (inference hot path on TPU,
     # interpret-mode on CPU). See msa_tpu.ops.pallas.attention.
     attention_impl: str = "einsum"
+    # "dense" = two nn.Dense matmuls (hidden tensor round-trips HBM);
+    # "pallas" = fused fc_in→GELU→fc_out kernel with weights resident in
+    # VMEM (inference only; training always takes the dense path). Same
+    # param paths either way. See msa_tpu.ops.pallas.ffn.
+    ffn_impl: str = "dense"
     # rematerialize each layer in the backward pass (jax.checkpoint):
     # trades ~30% more FLOPs for O(layers) → O(1) activation memory when
     # training the encoders at scale
@@ -108,6 +113,26 @@ class SelfAttention(nn.Module):
         return dense("attn_out")(out)
 
 
+class DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params (kernel [in, out], bias [out])
+    WITHOUT running the matmul, so a fused kernel can consume them while HF
+    import, tensor-parallel rules and checkpoints see the usual
+    ``fc_in``/``fc_out`` paths. Initializers match nn.Dense defaults."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features_out,))
+        return k, b
+
+
 class EncoderLayer(nn.Module):
     """Post-LN transformer layer (BERT convention)."""
 
@@ -122,9 +147,32 @@ class EncoderLayer(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attn_ln")(
             (x + attn).astype(jnp.float32)
         ).astype(dtype)
-        h = nn.Dense(cfg.d_ff, dtype=dtype, name="fc_in")(x)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.d_model, dtype=dtype, name="fc_out")(h)
+        if (
+            cfg.ffn_impl == "pallas"
+            and deterministic  # training takes the autodiff-able dense path
+            and cfg.d_model % 128 == 0
+            and cfg.d_ff % 128 == 0
+        ):
+            import jax
+
+            from msa_tpu.ops.pallas.ffn import ffn_fused
+
+            w1, b1 = DenseParams(cfg.d_model, cfg.d_ff, name="fc_in")()
+            w2, b2 = DenseParams(cfg.d_ff, cfg.d_model, name="fc_out")()
+            interpret = jax.devices()[0].platform != "tpu"
+            b_, t_, _ = x.shape
+            h = ffn_fused(
+                x.reshape(b_ * t_, cfg.d_model),
+                w1.astype(dtype),
+                b1.astype(dtype),
+                w2.astype(dtype),
+                b2.astype(dtype),
+                interpret=interpret,
+            ).reshape(b_, t_, cfg.d_model)
+        else:
+            h = nn.Dense(cfg.d_ff, dtype=dtype, name="fc_in")(x)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(cfg.d_model, dtype=dtype, name="fc_out")(h)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ffn_ln")(
             (x + h).astype(jnp.float32)

@@ -1,0 +1,116 @@
+"""Fused transformer FFN — Pallas TPU kernel.
+
+The encoder MLP (``fc_in`` → GELU → ``fc_out``) is the second-largest HBM
+consumer after attention: XLA cannot fuse two matmuls, so the hidden tensor
+[B·T, d_ff] (bf16, ~200 MB per BERT-base layer at B=64, T=512) makes a full
+HBM round trip between the gemms. This kernel keeps both weight matrices
+resident in VMEM (their BlockSpec index is constant, so Mosaic loads them
+once per layer) and streams token blocks through: per grid step the hidden
+tile lives only in VMEM/registers.
+
+Traffic per layer drops from ~450 MB (x read + h write + h read + out write)
+to ~110 MB (weights once + x read + out write).
+
+Math matches the plain path: both dots accumulate in f32
+(``preferred_element_type``), exact (erf) GELU in f32, output cast to the
+compute dtype. The weight layout is exactly ``nn.Dense``'s (kernel [in, out],
+bias [out]) so the same params serve both implementations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+def _erf(z):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7) — Mosaic has
+    no erf/erfc lowering, and 1.5e-7 is far below bf16 resolution."""
+    s = jnp.sign(z)
+    za = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * za)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-za * za))
+
+
+def _gelu_exact(x):
+    """x·Φ(x) with the erf polynomial above (BERT's exact-GELU convention,
+    not the tanh approximation)."""
+    return 0.5 * x * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
+
+
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[...]  # [BM, d]
+    w1 = w1_ref[...]  # [d, f]
+    w2 = w2_ref[...]  # [f, d]
+    h = jax.lax.dot_general(
+        x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = h + b1_ref[...].astype(jnp.float32)  # [1, f] broadcast
+    h = _gelu_exact(h)  # f32
+    o = jax.lax.dot_general(
+        h.astype(w2.dtype), w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o = o + b2_ref[...].astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def ffn_fused(
+    x: jnp.ndarray,  # [N, d] (flatten batch×time outside)
+    w1: jnp.ndarray,  # [d, f]
+    b1: jnp.ndarray,  # [f]
+    w2: jnp.ndarray,  # [f, d]
+    b2: jnp.ndarray,  # [d]
+    block_m: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """gelu(x·w1 + b1)·w2 + b2 with the hidden tile kept in VMEM.
+
+    Requires d and f to be 128-multiples and N a multiple of ``block_m``
+    after internal padding (N is padded; d/f are asserted — production
+    encoder sizes 768/3072 satisfy them, callers fall back to plain XLA
+    otherwise)."""
+    n, d = x.shape
+    f = w1.shape[1]
+    assert d % 128 == 0 and f % 128 == 0, (d, f)
+    bm = min(block_m, n)
+    n_pad = ((n + bm - 1) // bm) * bm
+    if n_pad != n:
+        x = jnp.pad(x, [(0, n_pad - n), (0, 0)])
+    out = pl.pallas_call(
+        _ffn_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
+        grid=(n_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda mi: (mi, 0)),
+            pl.BlockSpec((d, f), lambda mi: (0, 0)),  # constant → loaded once
+            pl.BlockSpec((1, f), lambda mi: (0, 0)),
+            pl.BlockSpec((f, d), lambda mi: (0, 0)),  # constant → loaded once
+            pl.BlockSpec((1, d), lambda mi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda mi: (mi, 0)),
+        interpret=interpret,
+    )(x, w1, b1[None, :], w2, b2[None, :])
+    return out[:n]
+
+
+def ffn_reference(x, w1, b1, w2, b2):
+    """Plain-XLA reference (same math; hidden tensor round-trips HBM)."""
+    h = jax.lax.dot_general(
+        x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b1.astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False)
+    o = jax.lax.dot_general(
+        h.astype(w2.dtype), w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2.astype(jnp.float32)
+    return o.astype(x.dtype)

@@ -93,7 +93,7 @@ class PipelineModels:
         # (they carry the 1e-3 parity contract); the encoders are our own
         # models, so bf16 is the right TPU default.
         prod_enc = EncoderConfig(
-            compute_dtype="bfloat16", attention_impl="pallas"
+            compute_dtype="bfloat16", attention_impl="pallas", ffn_impl="pallas"
         )
         face_cfg = face_cfg or FaceModelConfig()
         audio_cfg = audio_cfg or AudioModelConfig(encoder=prod_enc)
