@@ -49,6 +49,12 @@ class AudioModelConfig:
     positional: str = "conv"
     pos_conv_kernel: int = 128
     pos_conv_groups: int = 16
+    # "conv" = lax convolutions (XLA's TPU conv runs the stride-2 layers at
+    # ~70 TFLOPS); "matmul" = same math as explicit MXU matmuls on a
+    # pair-reshaped input (~170 TFLOPS on the same shapes) — requires every
+    # layer after the first to have kernel ∈ {2, 3} and stride 2 (the
+    # wav2vec2-base recipe). Identical params and outputs either way.
+    extractor_impl: str = "conv"
     encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
 
     @classmethod
@@ -79,6 +85,49 @@ def sinusoidal_positions(t: int, d: int) -> np.ndarray:
     return out
 
 
+def _strided_conv_as_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """VALID stride-2 conv1d (kernel 2 or 3) as MXU matmuls.
+
+    x: [B, L, C_in]; w: [k, C_in, C_out] (nn.Conv's kernel layout). The input
+    reshapes to non-overlapping PAIRS [B, L//2, 2·C_in] — a free bitcast —
+    so taps 0 and 1 become ONE full-width matmul against the stacked
+    [2·C_in, C_out] weight; kernel-3's third tap multiplies the next pair's
+    first half. XLA's own TPU conv runs these layers at ~70 TFLOPS; this
+    form reaches the plain-matmul rate (~170 measured on the same shapes)."""
+    k, cin, cout = w.shape
+    b, length, _ = x.shape
+    out_len = (length - k) // 2 + 1
+    w01 = w[:2].reshape(2 * cin, cout)  # [2C, C'] — taps 0,1 stacked
+    # pad x so pair rows 0..out_len exist even for odd L (padded rows only
+    # ever multiply into discarded outputs / the zero tail of kernel-3)
+    need = 2 * (out_len + 1)
+    if need > length:
+        x = jnp.pad(x, [(0, 0), (0, need - length), (0, 0)])
+    pairs = x[:, : 2 * (out_len + 1)].reshape(b, out_len + 1, 2 * cin)
+    out = jax.lax.dot_general(
+        pairs[:, :out_len], w01, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if k == 3:
+        out = out + jax.lax.dot_general(
+            pairs[:, 1 : out_len + 1, :cin], w[2], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return out.astype(x.dtype)
+
+
+class _ConvKernelParams(nn.Module):
+    """Declares an nn.Conv-compatible kernel param ([k, in, out], lecun
+    normal over fan_in = k·in, no bias) without running the conv, so the
+    matmul formulation consumes the identical param tree."""
+
+    shape: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
 class ConvFeatureExtractor(nn.Module):
     cfg: AudioModelConfig
 
@@ -87,22 +136,31 @@ class ConvFeatureExtractor(nn.Module):
         """[B, T] → [B, T', C]; GroupNorm after the first conv, GELU after
         each (wav2vec2 convention). Convs run in the encoder compute dtype
         (bf16 in production — they are ~1.6 TFLOP per 64-segment batch and
-        MXU-bound); GroupNorm stays f32."""
+        MXU-bound); GroupNorm stays f32. With ``extractor_impl="matmul"``
+        the stride-2 layers run as pair-reshaped matmuls (same params,
+        same outputs, ~2× faster on TPU — see _strided_conv_as_matmul)."""
         dtype = jnp.dtype(self.cfg.encoder.compute_dtype)
         x = wav[..., None].astype(dtype)  # [B, T, 1]
         c = self.cfg
         for i, (ch, k, s) in enumerate(
             zip(c.conv_channels, c.conv_kernels, c.conv_strides)
         ):
-            x = nn.Conv(
-                ch,
-                (k,),
-                strides=(s,),
-                padding="VALID",
-                use_bias=False,  # wav2vec2 extractor convs have no bias
-                dtype=dtype,
-                name=f"conv_{i}",
-            )(x)
+            as_matmul = c.extractor_impl == "matmul" and i > 0 and s == 2 and k in (2, 3)
+            if as_matmul:
+                # declares the SAME conv_{i}/kernel param path (and default
+                # init) as nn.Conv, so checkpoints/HF import are unchanged
+                w = _ConvKernelParams((k, x.shape[-1], ch), name=f"conv_{i}")()
+                x = _strided_conv_as_matmul(x, w.astype(dtype))
+            else:
+                x = nn.Conv(
+                    ch,
+                    (k,),
+                    strides=(s,),
+                    padding="VALID",
+                    use_bias=False,  # wav2vec2 extractor convs have no bias
+                    dtype=dtype,
+                    name=f"conv_{i}",
+                )(x)
             if i == 0:
                 # wav2vec2 uses GroupNorm with num_groups == channels
                 # (per-channel instance norm)

@@ -72,6 +72,39 @@ class SelfAttention(nn.Module):
         cfg = self.cfg
         dtype = _dt(cfg)
         b, t, _ = x.shape
+
+        if (
+            cfg.attention_impl == "pallas"
+            and deterministic  # inference-only (not differentiable)
+            and cfg.d_model % 128 == 0
+        ):
+            import jax
+
+            from msa_tpu.ops.pallas.attention import (
+                _SINGLE_PASS_MAX_T,
+                attention_block,
+            )
+
+            if t <= _SINGLE_PASS_MAX_T:
+                # ONE kernel for the whole block: fused QKV projection →
+                # per-head attention → output projection. Same "qkv"/
+                # "attn_out" param paths (DenseParams) as the dense path, so
+                # HF import / TP rules / checkpoints are unchanged.
+                wqkv, bqkv = DenseParams(cfg.d_model, 3 * cfg.d_model, name="qkv")()
+                wout, bout = DenseParams(cfg.d_model, cfg.d_model, name="attn_out")()
+                key_mask = (mask_bias[:, 0, 0, :] >= -0.5).astype(jnp.float32)
+                interpret = jax.devices()[0].platform != "tpu"
+                return attention_block(
+                    x.astype(dtype),
+                    wqkv,
+                    bqkv,
+                    wout,
+                    bout,
+                    key_mask,
+                    cfg.num_heads,
+                    interpret,
+                )
+
         # Q, K, V as ONE [d, 3d] matmul: one MXU launch instead of three
         # (identical math and init distribution — lecun_normal depends only on
         # fan_in; HF q/k/v weights are concatenated by the import converters).
@@ -84,22 +117,32 @@ class SelfAttention(nn.Module):
         )
 
         if cfg.attention_impl == "pallas" and (deterministic or cfg.dropout == 0.0):
-            # fused VMEM attention kernel with a flash-style Pallas backward
+            # fused VMEM attention kernels with a flash-style Pallas backward
             # (msa_tpu.ops.pallas.attention) — differentiable, so training
-            # uses it too unless attn-probs dropout is on (einsum path)
+            # uses them too unless attn-probs dropout is on (einsum path)
             import jax
 
-            from msa_tpu.ops.pallas.attention import attention_with_vjp
+            from msa_tpu.ops.pallas.attention import (
+                _SINGLE_PASS_MAX_T,
+                attention_with_vjp,
+                packed_qkv_attention,
+            )
 
             key_mask = (mask_bias[:, 0, 0, :] >= -0.5).astype(jnp.float32)
             interpret = jax.devices()[0].platform != "tpu"
-            out = attention_with_vjp(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                key_mask,
-                interpret,
-            ).transpose(0, 2, 1, 3)
+            if t <= _SINGLE_PASS_MAX_T:
+                # packed-layout kernel: consumes the [b, t, 3, h, dh] QKV
+                # projection output directly (only K is re-laid-out in HBM)
+                # and emits [b, t, d_model] ready for attn_out
+                out = packed_qkv_attention(qkv, key_mask, interpret)
+            else:  # blockwise online-softmax kernel for long sequences
+                out = attention_with_vjp(
+                    q.transpose(0, 2, 1, 3),
+                    k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3),
+                    key_mask,
+                    interpret,
+                ).transpose(0, 2, 1, 3)
             out = out.reshape(b, t, cfg.d_model).astype(dtype)
             return dense("attn_out")(out)
 

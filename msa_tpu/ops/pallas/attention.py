@@ -85,6 +85,90 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _mha_kernel(
+    q_ref, kt_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale: float, num_heads: int
+):
+    """All heads of one (batch, q-block) pair per grid step.
+
+    Two measured pathologies of the per-head kernel above at production
+    shapes (B=64, H=12, T=512) motivate this one (4.2 ms → ~1 ms/layer):
+
+    1. K arrives TRANSPOSED ([D, T]): ``q·kᵀ`` as a lane×lane contraction
+       (both operands' contracting dim minormost) forces Mosaic to transpose
+       K inside the kernel — measured 2.9 ms of the 5.2 ms step. With kᵀ the
+       score dot contracts q's lane dim against kᵀ's sublane dim, the
+       native MXU form (like an activations×weights matmul).
+    2. the (B, H, T/BQ) grid runs 1536 steps whose fixed cost dominates the
+       ~67 MFLOP each; folding the head loop INTO the kernel cuts the grid
+       to (B, T/BQ) = 128 steps of ~0.8 GFLOP. The loop is a static Python
+       unroll over leading-dim slices (no lane slicing), and one head's
+       scores die before the next head's are computed, so VMEM stays
+       bounded."""
+    m = mask_ref[0, 0]  # [T]
+    bias = jnp.where(m > 0, 0.0, -1e9)[None, :]
+    for h in range(num_heads):
+        q = q_ref[0, h]  # [BQ, D]
+        kt = kt_ref[0, h]  # [D, T]
+        v = v_ref[0, h]  # [T, D]
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias
+        smax = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - smax)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / denom).astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = o.astype(o_ref.dtype)
+        lse_ref[0, h, 0] = (smax[:, 0] + jnp.log(denom[:, 0])).astype(lse_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _mha_attention_lse(q, k, v, key_mask, block_q: int = 256, interpret: bool = False):
+    """Single-pass fused attention, all heads per grid step → (o, lse).
+
+    Same contract as :func:`_fused_attention_lse` ([B, H, T, D] in, [B, H, T,
+    D] + [B, H, T] out); head_dim stays unpadded (see pad_d note there). K is
+    transposed to [B, H, D, T] in XLA (one fast HBM copy) so the score dot
+    runs in the native MXU orientation — see :func:`_mha_kernel`."""
+    b, h, t, d = q.shape
+    scale = 1.0 / np.sqrt(d)
+    t_pad = _round_up(t, _LANE)
+    d_pad = _round_up(d, 64)
+    bq = min(block_q, t_pad)
+    while t_pad % bq:
+        bq //= 2
+    q, k, v, key_mask = _pad_qkvm(q, k, v, key_mask, t_pad, d_pad)
+    kt = k.transpose(0, 1, 3, 2)  # [B, H, D, T]
+    key_mask3 = key_mask[:, None, :]
+
+    grid = (b, t_pad // bq)
+    out, lse = pl.pallas_call(
+        functools.partial(_mha_kernel, scale=scale, num_heads=h),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, t_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, t_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, bq, d_pad), lambda bi, qi: (bi, 0, qi, 0)),
+            pl.BlockSpec((1, h, d_pad, t_pad), lambda bi, qi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, t_pad, d_pad), lambda bi, qi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, bq, d_pad), lambda bi, qi: (bi, 0, qi, 0)),
+            pl.BlockSpec((1, h, 1, bq), lambda bi, qi: (bi, 0, 0, qi)),
+        ),
+        interpret=interpret,
+    )(q, kt, v, key_mask3)
+    return out[:, :, :t, :d], lse[:, :, 0, :t]
+
+
 def _pad_qkvm(q, k, v, key_mask, t_pad, d_pad):
     t, d = q.shape[2], q.shape[3]
     if t_pad != t or d_pad != d:
@@ -338,25 +422,273 @@ def attention_bwd(
     return dq[:, :, :t, :d], dk[:, :, :t, :d], dv[:, :, :t, :d]
 
 
+def _packed_qkv_kernel(
+    q_ref, kt_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale: float, num_heads: int
+):
+    """Like :func:`_mha_kernel`, but Q and V are read STRAIGHT from the fused
+    QKV projection's [B, T, 3, H, D] output (their BlockSpec index maps pin
+    the qkv axis), so the DMA engine does the de-interleave — XLA never
+    materializes sliced/transposed Q or V copies. Only K needs a real HBM
+    transpose (to [B, H, D, T]) for the MXU-native score dot."""
+    m = mask_ref[0, 0]  # [T]
+    bias = jnp.where(m > 0, 0.0, -1e9)[None, :]
+    qs = q_ref[...][0, :, 0]  # [BQ, H, D]
+    vs = v_ref[...][0, :, 0]  # [T, H, D]
+    outs = []
+    lses = []
+    for h in range(num_heads):
+        q = qs[:, h]  # [BQ, D]
+        kt = kt_ref[0, h]  # [D, T]
+        v = vs[:, h]  # [T, D]
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale + bias
+        smax = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - smax)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / denom).astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o.astype(o_ref.dtype))
+        lse_ref[0, h, 0] = (smax[:, 0] + jnp.log(denom[:, 0])).astype(lse_ref.dtype)
+    # heads concatenate on the LANE dim (supported by Mosaic; per-head
+    # strided stores are not) → one [BQ, H·D] store, already in the layout
+    # the attn_out projection consumes
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _packed_qkv_attention_lse(
+    qkv, key_mask, block_q: int = 256, interpret: bool = False
+):
+    """Attention on the fused projection output, minimal layout traffic.
+
+    qkv: [B, T, 3, H, D] (a free reshape of the [B, T, 3·H·D] dense output).
+    Returns (o [B, T, H·D], lse [B, H, T]). The only materialized layout op
+    is K → [B, H, D, T]; Q and V stream from ``qkv`` directly via index-map
+    pinning (the same array is passed twice with different BlockSpecs), and
+    the output lands in the exact layout the attn_out projection consumes."""
+    b, t, three, h, d = qkv.shape
+    assert three == 3
+    scale = 1.0 / np.sqrt(d)
+    t_pad = _round_up(t, _LANE)
+    bq = min(block_q, t_pad)
+    while t_pad % bq:
+        bq //= 2
+    if t_pad != t:
+        qkv = jnp.pad(qkv, [(0, 0), (0, t_pad - t), (0, 0), (0, 0), (0, 0)])
+        key_mask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
+    kt = qkv[:, :, 1].transpose(0, 2, 3, 1)  # [B, H, D, T] — the one copy
+    key_mask3 = key_mask[:, None, :]
+
+    grid = (b, t_pad // bq)
+    out, lse = pl.pallas_call(
+        functools.partial(_packed_qkv_kernel, scale=scale, num_heads=h),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, h * d), qkv.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, t_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 1, h, d), lambda bi, qi: (bi, qi, 0, 0, 0)),
+            pl.BlockSpec((1, h, d, t_pad), lambda bi, qi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, t_pad, 1, h, d), lambda bi, qi: (bi, 0, 2, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, h * d), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, h, 1, bq), lambda bi, qi: (bi, 0, 0, qi)),
+        ),
+        interpret=interpret,
+    )(qkv, kt, qkv, key_mask3)
+    return out[:, :t], lse[:, :, 0, :t]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def packed_qkv_attention(qkv, key_mask, interpret=False):
+    """Differentiable attention on the fused QKV projection output.
+
+    qkv: [B, T, 3, H, D] → o [B, T, H·D]. Forward is the packed-layout
+    kernel; the backward transposes to the [B, H, T, D] convention and reuses
+    the flash-style Pallas backward (:func:`attention_bwd`), scattering the
+    grads back into the packed layout (training pays the transposes; the
+    inference hot path pays only the K one)."""
+    return _packed_qkv_attention_lse(qkv, key_mask, interpret=interpret)[0]
+
+
+def _packed_fwd(qkv, key_mask, interpret=False):
+    out, lse = _packed_qkv_attention_lse(qkv, key_mask, interpret=interpret)
+    return out, (qkv, key_mask, lse, out)
+
+
+def _packed_bwd(interpret, res, g):
+    qkv, key_mask, lse, o = res
+    b, t, _, h, d = qkv.shape
+    to4 = lambda x: x.reshape(b, t, h, d).transpose(0, 2, 1, 3)  # noqa: E731
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    dq, dk, dv = attention_bwd(
+        q, k, v, key_mask, lse, to4(o), to4(g), interpret=interpret
+    )
+    dqkv = jnp.stack([dq, dk, dv], axis=1).transpose(0, 3, 1, 2, 4)
+    return dqkv, jnp.zeros_like(key_mask)
+
+
+packed_qkv_attention.defvjp(_packed_fwd, _packed_bwd)
+
+
+def _attn_block_kernel(
+    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref, bo_ref,
+    mask_ref, o_ref, *, scale: float, num_heads: int,
+):
+    """One encoder layer's ENTIRE attention block per grid step: fused QKV
+    projection → per-head attention → output projection, one step per batch
+    row. x is read from HBM once, all five weight matrices are constant
+    blocks (loaded into VMEM once per layer), and no Q/K/V tensor ever
+    exists in HBM — eliminating the ~1.4 ms/layer of XLA layout copies the
+    separate-projection path pays (profiled; see packed_qkv_attention).
+
+    Kᵀ comes out of the projection already transposed by computing
+    ``ktₕ = Wkₕᵀ·xᵀ`` — a dot_general contracting lhs-sublane × rhs-lane,
+    which the MXU handles at full rate (measured), unlike the lane×lane
+    ``q·kᵀ`` form that forces an in-kernel transpose."""
+    xx = x_ref[0]  # [T, dm]
+    m = mask_ref[0, 0]  # [T]
+    bias = jnp.where(m > 0, 0.0, -1e9)[None, :]
+    outs = []
+    for h in range(num_heads):
+        q = (
+            jax.lax.dot_general(
+                xx, wq_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bq_ref[h]
+        )  # [T, dh] f32
+        kt = (
+            jax.lax.dot_general(
+                wk_ref[h], xx, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bk_ref[h]
+        )  # [dh, T] f32
+        s = jax.lax.dot_general(
+            q.astype(xx.dtype), kt.astype(xx.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * scale + bias  # [T, T]
+        smax = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - smax)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        v = (
+            jax.lax.dot_general(
+                xx, wv_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bv_ref[h]
+        )  # [T, dh]
+        o = jax.lax.dot_general(
+            p.astype(xx.dtype), v.astype(xx.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o.astype(xx.dtype))
+    attn = jnp.concatenate(outs, axis=-1)  # [T, dm] (lane-dim concat)
+    out = (
+        jax.lax.dot_general(
+            attn, wo_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bo_ref[...]
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def attention_block(
+    x, w_qkv, b_qkv, w_out, b_out, key_mask, num_heads: int, interpret: bool = False
+):
+    """Fused attention block: ``attn_out(MHA(x·Wqkv))`` in ONE Pallas kernel.
+
+    x: [B, T, dm]; w_qkv: [dm, 3·dm] (the fused projection's nn.Dense
+    kernel); b_qkv: [3·dm]; w_out/b_out: the output projection. Returns
+    [B, T, dm] (pre-residual, pre-LayerNorm). Inference hot path only — NOT
+    differentiable (gate on ``deterministic``, like the fused FFN)."""
+    b, t, dm = x.shape
+    h = num_heads
+    dh = dm // h
+    scale = 1.0 / np.sqrt(dh)
+    t_pad = _round_up(t, _LANE)
+    if t_pad != t:
+        x = jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
+        key_mask = jnp.pad(key_mask, [(0, 0), (0, t_pad - t)])
+    # [dm, 3, H, dh] → per-projection [H, dm, dh] weight tensors (tiny
+    # constant re-layouts, hoisted by XLA out of the hot loop via CSE on
+    # params; biases likewise)
+    w4 = w_qkv.reshape(dm, 3, h, dh)
+    wq, wk, wv = (w4[:, i].transpose(1, 0, 2) for i in range(3))  # [H, dm, dh]
+    b3 = b_qkv.reshape(3, h, dh)
+    bq = b3[0][:, None, :]  # [H, 1, dh] (broadcast over T rows)
+    bk = b3[1][:, :, None]  # [H, dh, 1] (broadcast over kt columns)
+    bv = b3[2][:, None, :]
+    key_mask3 = key_mask[:, None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_attn_block_kernel, scale=scale, num_heads=h),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, dm), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, dm), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((h, dm, dh), lambda bi: (0, 0, 0)),
+            pl.BlockSpec((h, dm, dh), lambda bi: (0, 0, 0)),
+            pl.BlockSpec((h, dm, dh), lambda bi: (0, 0, 0)),
+            pl.BlockSpec((h, 1, dh), lambda bi: (0, 0, 0)),
+            pl.BlockSpec((h, dh, 1), lambda bi: (0, 0, 0)),
+            pl.BlockSpec((h, 1, dh), lambda bi: (0, 0, 0)),
+            pl.BlockSpec((dm, dm), lambda bi: (0, 0)),
+            pl.BlockSpec((1, dm), lambda bi: (0, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t_pad, dm), lambda bi: (bi, 0, 0)),
+        interpret=interpret,
+    )(
+        x,
+        wq.astype(x.dtype),
+        wk.astype(x.dtype),
+        wv.astype(x.dtype),
+        bq.astype(jnp.float32),
+        bk.astype(jnp.float32),
+        bv.astype(jnp.float32),
+        w_out.astype(x.dtype),
+        b_out[None, :].astype(jnp.float32),
+        key_mask3,
+    )
+    return out[:, :t]
+
+
 # --- differentiable wrapper ---------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def attention_with_vjp(q, k, v, key_mask, interpret=False):
     """Pallas forward + Pallas flash-style backward, so the fused kernel is
-    usable in training end to end. T beyond the single-pass VMEM budget
-    switches the forward to the blockwise online-softmax kernel; both share
-    the same backward (it is blockwise by construction)."""
+    usable in training end to end. The forward is the all-heads-per-step
+    kernel (:func:`_mha_attention_lse`); T beyond the single-pass VMEM budget
+    switches to the blockwise online-softmax kernel; all share the same
+    backward (it is blockwise by construction)."""
     if q.shape[2] > _SINGLE_PASS_MAX_T:
         return flash_attention(q, k, v, key_mask, interpret=interpret)
-    return fused_attention(q, k, v, key_mask, interpret=interpret)
+    return _mha_attention_lse(q, k, v, key_mask, interpret=interpret)[0]
 
 
 def _attn_fwd(q, k, v, key_mask, interpret=False):
     if q.shape[2] > _SINGLE_PASS_MAX_T:
         out, lse = _flash_attention_lse(q, k, v, key_mask, interpret=interpret)
     else:
-        out, lse = _fused_attention_lse(q, k, v, key_mask, interpret=interpret)
+        out, lse = _mha_attention_lse(q, k, v, key_mask, interpret=interpret)
     return out, (q, k, v, key_mask, lse, out)
 
 

@@ -147,3 +147,31 @@ def test_audio_trunk_matches_hf_wav2vec2(rng):
     got = np.asarray(model.apply({"params": merged}, wav)["hidden"])
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_extractor_matmul_impl_matches_conv(rng):
+    """extractor_impl='matmul' must equal the lax-conv path bit-for-bit in
+    f32, on the SAME params (identical conv_{i}/kernel tree), including odd
+    intermediate lengths and both kernel sizes (3 and 2)."""
+    import dataclasses
+
+    import jax
+
+    cfg = AM.AudioModelConfig(
+        conv_channels=(16, 16, 16, 16),
+        conv_kernels=(10, 3, 3, 2),
+        conv_strides=(5, 2, 2, 2),
+        encoder=AM.EncoderConfig.tiny(),
+    )
+    fx = AM.ConvFeatureExtractor(cfg)
+    wav = rng.normal(size=(2, 4003)).astype(np.float32)
+    params = fx.init(jax.random.PRNGKey(0), wav)["params"]
+
+    fx_mm = AM.ConvFeatureExtractor(dataclasses.replace(cfg, extractor_impl="matmul"))
+    params_mm = fx_mm.init(jax.random.PRNGKey(0), wav)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_mm)
+
+    out_conv = np.asarray(fx.apply({"params": params}, wav))
+    out_mm = np.asarray(fx_mm.apply({"params": params}, wav))
+    assert out_conv.shape == out_mm.shape
+    np.testing.assert_allclose(out_mm, out_conv, atol=2e-5)
