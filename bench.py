@@ -22,9 +22,24 @@ realtime per chip (BASELINE.json:5) — 1.0 means the target is met exactly.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the three bucket graphs take
+    minutes to compile cold (the fused attention-block/FFN kernels unroll
+    per head), but identical recompiles hit this cache across runs — the
+    driver's bench invocation then spends its wall clock measuring, not
+    compiling."""
+    import jax
+
+    cache = os.environ.get("MSA_JIT_CACHE", "/tmp/msa_tpu_jit_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 SEGMENT_SECONDS = 5.0
 TARGET_X_REALTIME = 50.0
@@ -101,6 +116,7 @@ def bench_full_pipeline(batch: int = 64, iters: int = 10, warmup: int = 2):
 
 
 def main():
+    _enable_compile_cache()
     buckets, p50_ms = bench_full_pipeline()
     worst = buckets[max(TOKEN_BUCKETS)]
     print(

@@ -54,6 +54,12 @@ class StreamingConfig:
     sample_rate: int = 16000
     channels: int = 1
     chunk_size: int = 1024
+    # Live transcription of each streaming window. The reference always
+    # passes text="" live (streaming_processor.py:422-424, defect D9), so
+    # False is the parity default; True feeds each drained audio window
+    # through the configured Transcriber so the text modality runs live —
+    # the capability the reference's whisper config intended but never wired.
+    live_transcription: bool = False
 
 
 @dataclass(frozen=True)

@@ -582,7 +582,7 @@ def _attn_block_kernel(
         s = s * scale + bias  # [T, T]
         smax = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - smax)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
         v = (
             jax.lax.dot_general(
                 xx, wv_ref[h], (((1,), (0,)), ((), ())),
@@ -595,7 +595,10 @@ def _attn_block_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        outs.append(o.astype(xx.dtype))
+        # normalize AFTER the V dot: one [T, dh] division instead of a
+        # [T, T] one (the dot is linear in p; saves a full VPU pass over
+        # the score tile per head)
+        outs.append((o / denom).astype(xx.dtype))
     attn = jnp.concatenate(outs, axis=-1)  # [T, dm] (lane-dim concat)
     out = (
         jax.lax.dot_general(

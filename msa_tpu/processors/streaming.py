@@ -174,6 +174,7 @@ class StreamingProcessor:
         audio_source: Optional[AudioSource] = None,
         visualizer=None,
         diarizer=None,
+        transcriber=None,
         show_window: bool = False,
     ):
         self.config = config or SystemConfig.from_env()
@@ -191,6 +192,9 @@ class StreamingProcessor:
             self.config.processing,
             self.config.diarization,
         )
+        # live transcription (opt-in, StreamingConfig.live_transcription):
+        # built lazily so the D9-faithful default path never loads ASR assets
+        self.transcriber = transcriber
         if visualizer is None:
             from msa_tpu.visualizers.overlay import StreamingVisualizer
 
@@ -393,6 +397,29 @@ class StreamingProcessor:
 
     # ------------------------------------------------------------------
 
+    def _live_text(self, audio_bytes: bytes) -> str:
+        """Transcript for a live window when live_transcription is on;
+        "" otherwise (the reference's behavior, streaming_processor.py:
+        422-424). ASR failures degrade to "" — the text modality then takes
+        its default vector, never the whole window."""
+        if not self.config.streaming.live_transcription:
+            return ""
+        try:
+            if self.transcriber is None:
+                from msa_tpu.host.transcription import make_transcriber
+
+                self.transcriber = make_transcriber(
+                    self.config.transcription.model,
+                    self.config.transcription.language,
+                )
+            waveform = pcm16_bytes_to_float(audio_bytes)
+            return self.transcriber.transcribe(
+                waveform, self.config.streaming.sample_rate
+            )
+        except Exception as e:
+            logger.warning("live transcription failed: %s", e)
+            return ""
+
     def start_capture(self):
         if self.frame_source is None:
             self.frame_source = Cv2FrameSource(self.config.streaming.video_source)
@@ -488,7 +515,13 @@ class StreamingProcessor:
                 if due:
                     audio_bytes = self.audio_source.drain()
                     if audio_bytes:
-                        result = self.process_segment(video_buffer, audio_bytes, "")
+                        # reference behavior: text="" live (D9). Opt-in
+                        # live_transcription runs the window through the
+                        # configured ASR so the text modality goes live.
+                        text = self._live_text(audio_bytes)
+                        result = self.process_segment(
+                            video_buffer, audio_bytes, text
+                        )
                         vis = self.visualizer.visualize(frame, result)
                         if self.show_window:
                             import cv2

@@ -212,6 +212,51 @@ def test_streaming_run_headless(tmp_path, tiny_models):
     assert abs(sum(out["weights"].values()) - 1.0) < 1e-5
 
 
+def test_streaming_live_transcription_feeds_text_branch(tmp_path, tiny_models):
+    """With StreamingConfig.live_transcription on and a working transcriber,
+    the text modality runs live (out["text"] present) — the capability the
+    reference's whisper config intended but never wired (D3/D9)."""
+    import dataclasses
+
+    class FakeTranscriber:
+        def transcribe(self, waveform, sample_rate):
+            return "que bom ver você hoje"
+
+    cfg = _tiny_config(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, streaming=dataclasses.replace(cfg.streaming, live_transcription=True)
+    )
+    proc = StreamingProcessor(
+        config=cfg,
+        models=tiny_models,
+        frame_source=SyntheticFrameSource(num_frames=40, height=48, width=64),
+        audio_source=SyntheticAudioSource(chunk_seconds=0.25),
+        transcriber=FakeTranscriber(),
+    )
+    outputs = []
+    proc.run(duration=0.01, callback=outputs.append, max_segments=1)
+    assert outputs
+    out = outputs[0]
+    assert out["text"] is not None  # text modality ran live
+    assert out["text"]["emotion_probs"].shape == (7,)
+
+    # a transcriber that explodes degrades to the D9 behavior, not a crash
+    class ExplodingTranscriber:
+        def transcribe(self, waveform, sample_rate):
+            raise RuntimeError("asr down")
+
+    proc2 = StreamingProcessor(
+        config=cfg,
+        models=tiny_models,
+        frame_source=SyntheticFrameSource(num_frames=40, height=48, width=64),
+        audio_source=SyntheticAudioSource(chunk_seconds=0.25),
+        transcriber=ExplodingTranscriber(),
+    )
+    outputs2 = []
+    proc2.run(duration=0.01, callback=outputs2.append, max_segments=1)
+    assert outputs2 and outputs2[0]["text"] is None
+
+
 def test_streaming_process_segment_empty_audio(tmp_path, tiny_models):
     """Empty audio bytes → face-only fallback: fused_emotion is the RAW
     27-dim face vector (streaming fallback chain :306-316)."""
