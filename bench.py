@@ -29,17 +29,9 @@ import numpy as np
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache: the three bucket graphs take
-    minutes to compile cold (the fused attention-block/FFN kernels unroll
-    per head), but identical recompiles hit this cache across runs — the
-    driver's bench invocation then spends its wall clock measuring, not
-    compiling."""
-    import jax
+    from msa_tpu.utils.jit_cache import enable_persistent_cache
 
-    cache = os.environ.get("MSA_JIT_CACHE", "/tmp/msa_tpu_jit_cache_tpu")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    enable_persistent_cache()
 
 SEGMENT_SECONDS = 5.0
 TARGET_X_REALTIME = 50.0
@@ -87,17 +79,11 @@ def bench_full_pipeline(batch: int = 64, iters: int = 10, warmup: int = 2):
     models = PipelineModels.initialize(seed=0)
     pipeline = SegmentPipeline(models)
 
-    buckets = {
-        tokens: round(
-            _throughput(pipeline, _make_inputs(models, batch, tokens), batch, iters, warmup),
-            2,
-        )
-        for tokens in TOKEN_BUCKETS
-    }
-
-    # p50 streaming-segment latency: batch 1 on the no-text (32-token) bucket —
-    # the exact device graph StreamingProcessor.process_segment dispatches
-    # (live streaming passes text="", D9-faithful), fetch-synchronized.
+    # p50 streaming-segment latency FIRST (before the throughput bursts fill
+    # the device queue/arena — measured +14 ms of noise when run after):
+    # batch 1 on the no-text (32-token) bucket — the exact device graph
+    # StreamingProcessor.process_segment dispatches (live streaming passes
+    # text="", D9-faithful), fetch-synchronized.
     lat_inp = _make_inputs(models, 1, TOKEN_BUCKETS[0])
     import jax
 
@@ -112,6 +98,14 @@ def bench_full_pipeline(batch: int = 64, iters: int = 10, warmup: int = 2):
         np.asarray(out["fused"])
         lats.append((time.perf_counter() - t0) * 1000.0)
     p50_ms = float(np.percentile(lats, 50))
+
+    buckets = {
+        tokens: round(
+            _throughput(pipeline, _make_inputs(models, batch, tokens), batch, iters, warmup),
+            2,
+        )
+        for tokens in TOKEN_BUCKETS
+    }
     return buckets, p50_ms
 
 

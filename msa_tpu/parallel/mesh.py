@@ -97,6 +97,15 @@ def encoder_param_spec(path: Tuple[str, ...], leaf) -> P:
     their input features; everything else (embeddings, LayerNorms, biases of
     row-sharded layers) replicates. Matching is by parameter-path substring so
     it applies to any of our Flax encoders.
+
+    Note on the fused Pallas kernels: with ``n_model > 1`` use
+    ``attention_impl="einsum"`` / ``ffn_impl="dense"`` encoder configs (the
+    tp correctness tests and the driver dryrun do) — GSPMD partitions plain
+    dots natively, while a pallas_call has no partitioning rule, so XLA would
+    gather the sharded operands around it. Data-parallel-only meshes
+    (``n_model == 1``, the production serving layout) keep the fused kernels:
+    every weight PartitionSpec is replicated and the batch axis shards
+    cleanly over the kernel's grid.
     """
     name = "/".join(str(p) for p in path).lower()
     ndim = getattr(leaf, "ndim", 0)

@@ -253,6 +253,9 @@ class SegmentPipeline:
         original_frame_hw: Tuple[int, int] = (480, 640),
         mesh=None,
     ):
+        from msa_tpu.utils.jit_cache import enable_persistent_cache
+
+        enable_persistent_cache()  # no-op if the process configured its own
         self.models = models
         self.config = config or SystemConfig()
         self.original_frame_hw = original_frame_hw

@@ -1,0 +1,37 @@
+"""Persistent XLA compilation cache, enabled once per process.
+
+The production encoders' fused Pallas kernels (attention block, FFN) take
+minutes to compile cold on a 1-core host — measured ~5 min for one
+(batch, tokens) shape of the full pipeline. Mosaic caches identical kernels
+in-process (extra layers are free), and this module adds the cross-process
+half: identical executables hit a disk cache, so repeat invocations of
+bench/CLI/driver entry points spend their wall clock running, not compiling.
+
+Never overrides a cache dir the process already configured (tests set their
+own in tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = "/tmp/msa_tpu_jit_cache_tpu"
+
+
+def enable_persistent_cache(path: str | None = None) -> None:
+    """Idempotent; a no-op when a cache dir is already configured or the
+    jax version lacks the option. ``MSA_JIT_CACHE`` overrides the default
+    location; ``MSA_JIT_CACHE=""`` disables."""
+    import jax
+
+    cache = path or os.environ.get("MSA_JIT_CACHE", _DEFAULT_DIR)
+    if not cache:
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir:  # someone configured one
+            return
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # cache is an optimization, never a requirement
+        pass

@@ -109,6 +109,34 @@ def test_encoder_fused_attention_block_matches_einsum(rng):
     np.testing.assert_allclose(out_p, out_e, atol=5e-5)
 
 
+def test_attention_block_bf16(rng):
+    """Production dtype: bf16 operands, f32 accumulation/softmax — the fused
+    block must track the f32 reference within bf16 resolution."""
+    import jax.numpy as jnp
+
+    from msa_tpu.ops.pallas.attention import attention_block
+
+    b, t, dm, h = 2, 64, 128, 4
+    x = rng.normal(size=(b, t, dm)).astype(np.float32)
+    w_qkv = (rng.normal(size=(dm, 3 * dm)) / np.sqrt(dm)).astype(np.float32)
+    b_qkv = (0.1 * rng.normal(size=3 * dm)).astype(np.float32)
+    w_out = (rng.normal(size=(dm, dm)) / np.sqrt(dm)).astype(np.float32)
+    b_out = (0.1 * rng.normal(size=dm)).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+    mask[1, 40:] = 0.0
+
+    got = np.asarray(
+        attention_block(
+            x.astype(jnp.bfloat16), w_qkv, b_qkv, w_out, b_out, mask, h, True
+        ).astype(jnp.float32)
+    )
+    qkv = (x @ w_qkv + b_qkv).reshape(b, t, 3, h, dm // h)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    ref = reference_attention(q, k, v, mask)
+    want = np.asarray(ref.transpose(0, 2, 1, 3).reshape(b, t, dm) @ w_out + b_out)
+    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.1)
+
+
 def test_attention_block_bias_and_mask(rng):
     """attention_block (raw op) vs an explicit XLA composition, with
     nonzero projection biases and a masked tail."""
