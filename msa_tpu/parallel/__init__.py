@@ -1,3 +1,7 @@
+from msa_tpu.parallel.distributed import (  # noqa: F401
+    global_mesh,
+    initialize_multihost,
+)
 from msa_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     data_parallel_mesh,

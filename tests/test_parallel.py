@@ -290,3 +290,44 @@ def test_full_pipeline_tp_sp_dp_matches_unsharded():
         out = fwd(params_tp, inp_sh)
     # bf16 never enters these micro configs (f32 default), so 1e-5 holds
     _assert_trees_close(out, ref)
+
+
+def test_multihost_arg_validation(monkeypatch):
+    """Partial multi-host args must fail loudly; no args → single-process."""
+    import pytest as _pytest
+
+    from msa_tpu.parallel.distributed import initialize_multihost
+
+    for var in ("MSA_COORDINATOR", "MSA_NUM_PROCESSES", "MSA_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_multihost() is False  # single-process fallback
+    with _pytest.raises(ValueError, match="all three"):
+        initialize_multihost(coordinator_address="h:1234")
+    monkeypatch.setenv("MSA_COORDINATOR", "h:1234")
+    monkeypatch.setenv("MSA_NUM_PROCESSES", "2")
+    with _pytest.raises(ValueError, match="all three"):
+        initialize_multihost()
+
+
+def test_global_mesh_keeps_model_axis_within_host():
+    """global_mesh orders devices host-major so the model axis never spans
+    hosts (tp collectives ride ICI, only dp psums cross DCN). On the
+    emulated mesh all devices share process 0 — the layout degenerates to
+    make_mesh, which is the assertion."""
+    import jax
+
+    from msa_tpu.parallel.distributed import global_mesh
+    from msa_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    mesh = global_mesh(n_model=2, devices=jax.devices()[:8])
+    assert mesh.shape[DATA_AXIS] == 4 and mesh.shape[MODEL_AXIS] == 2
+
+    class FakeDev:
+        def __init__(self, i, pid):
+            self.id = i
+            self.process_index = pid
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        global_mesh(n_model=2, devices=[FakeDev(0, 0), FakeDev(1, 1), FakeDev(2, 1), FakeDev(3, 1)])
