@@ -49,6 +49,14 @@ class EncoderConfig:
     # trades ~30% more FLOPs for O(layers) → O(1) activation memory when
     # training the encoders at scale
     remat: bool = False
+    # "none" | "int8": W8A8 serving mode for the fused kernels — int8×int8
+    # MXU dots (~1.8× the bf16 rate on v5e, measured) with per-output-channel
+    # weight scales (computed on the fly from the ordinary f32 params) and
+    # per-row dynamic activation scales. Inference-only, like the fused
+    # kernels themselves; training and the einsum/dense paths ignore it.
+    # Accuracy: median ~1% relative error on encoder outputs vs the f32
+    # path (tests/test_pallas_*); attention's own score/PV dots stay bf16.
+    quantize: str = "none"
 
     @property
     def head_dim(self) -> int:
@@ -103,6 +111,7 @@ class SelfAttention(nn.Module):
                     key_mask,
                     cfg.num_heads,
                     interpret,
+                    int8=cfg.quantize == "int8",
                 )
 
         # Q, K, V as ONE [d, 3d] matmul: one MXU launch instead of three
@@ -198,20 +207,30 @@ class EncoderLayer(nn.Module):
         ):
             import jax
 
-            from msa_tpu.ops.pallas.ffn import ffn_fused
+            from msa_tpu.ops.pallas.ffn import ffn_fused, ffn_fused_int8
 
             w1, b1 = DenseParams(cfg.d_model, cfg.d_ff, name="fc_in")()
             w2, b2 = DenseParams(cfg.d_ff, cfg.d_model, name="fc_out")()
             interpret = jax.devices()[0].platform != "tpu"
             b_, t_, _ = x.shape
-            h = ffn_fused(
-                x.reshape(b_ * t_, cfg.d_model),
-                w1.astype(dtype),
-                b1.astype(dtype),
-                w2.astype(dtype),
-                b2.astype(dtype),
-                interpret=interpret,
-            ).reshape(b_, t_, cfg.d_model)
+            if cfg.quantize == "int8":
+                h = ffn_fused_int8(
+                    x.reshape(b_ * t_, cfg.d_model),
+                    w1,
+                    b1,
+                    w2,
+                    b2,
+                    interpret=interpret,
+                ).reshape(b_, t_, cfg.d_model)
+            else:
+                h = ffn_fused(
+                    x.reshape(b_ * t_, cfg.d_model),
+                    w1.astype(dtype),
+                    b1.astype(dtype),
+                    w2.astype(dtype),
+                    b2.astype(dtype),
+                    interpret=interpret,
+                ).reshape(b_, t_, cfg.d_model)
         else:
             h = nn.Dense(cfg.d_ff, dtype=dtype, name="fc_in")(x)
             h = nn.gelu(h, approximate=False)

@@ -544,6 +544,37 @@ def _attn_block_kernel(
     x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref, bo_ref,
     mask_ref, o_ref, *, scale: float, num_heads: int,
 ):
+    _attn_block_body(
+        x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref, bo_ref,
+        None, None, None, None, mask_ref, o_ref, scale=scale,
+        num_heads=num_heads, int8=False,
+    )
+
+
+def _attn_block_int8_kernel(
+    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref, bo_ref,
+    sq_ref, sk_ref, sv_ref, so_ref, mask_ref, o_ref,
+    *, scale: float, num_heads: int,
+):
+    _attn_block_body(
+        x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref, bo_ref,
+        sq_ref, sk_ref, sv_ref, so_ref, mask_ref, o_ref, scale=scale,
+        num_heads=num_heads, int8=True,
+    )
+
+
+def _quant_rows(xf):
+    """Per-row symmetric int8: (x_i8, row_scale [T, 1] f32)."""
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
+    s = amax / 127.0
+    return jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8), s
+
+
+def _attn_block_body(
+    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wo_ref, bo_ref,
+    sq_ref, sk_ref, sv_ref, so_ref, mask_ref, o_ref,
+    *, scale: float, num_heads: int, int8: bool,
+):
     """One encoder layer's ENTIRE attention block per grid step: fused QKV
     projection → per-head attention → output projection, one step per batch
     row. x is read from HBM once, all five weight matrices are constant
@@ -558,22 +589,48 @@ def _attn_block_kernel(
     xx = x_ref[0]  # [T, dm]
     m = mask_ref[0, 0]  # [T]
     bias = jnp.where(m > 0, 0.0, -1e9)[None, :]
+    if int8:
+        # W8A8 serving mode: x quantizes per row ONCE and feeds all 3·H
+        # int8 projections (~1.8× the bf16 MXU rate); the score and P·V
+        # dots stay bf16 (their K-dims are head-sized — int8 buys little
+        # there and costs extra quant passes).
+        xq, xs = _quant_rows(xx.astype(jnp.float32))
     outs = []
     for h in range(num_heads):
-        q = (
-            jax.lax.dot_general(
-                xx, wq_ref[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + bq_ref[h]
-        )  # [T, dh] f32
-        kt = (
-            jax.lax.dot_general(
-                wk_ref[h], xx, (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + bk_ref[h]
-        )  # [dh, T] f32
+        if int8:
+            q = (
+                jax.lax.dot_general(
+                    xq, wq_ref[h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                * xs
+                * sq_ref[h]
+                + bq_ref[h]
+            )  # [T, dh] f32
+            kt = (
+                jax.lax.dot_general(
+                    wk_ref[h], xq, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                * sk_ref[h]
+                * xs[:, 0][None, :]
+                + bk_ref[h]
+            )  # [dh, T] f32
+        else:
+            q = (
+                jax.lax.dot_general(
+                    xx, wq_ref[h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bq_ref[h]
+            )  # [T, dh] f32
+            kt = (
+                jax.lax.dot_general(
+                    wk_ref[h], xx, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bk_ref[h]
+            )  # [dh, T] f32
         s = jax.lax.dot_general(
             q.astype(xx.dtype), kt.astype(xx.dtype),
             (((1,), (0,)), ((), ())),
@@ -583,13 +640,24 @@ def _attn_block_kernel(
         smax = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - smax)
         denom = jnp.sum(p, axis=-1, keepdims=True)
-        v = (
-            jax.lax.dot_general(
-                xx, wv_ref[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        if int8:
+            v = (
+                jax.lax.dot_general(
+                    xq, wv_ref[h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                * xs
+                * sv_ref[h]
+                + bv_ref[h]
             )
-            + bv_ref[h]
-        )  # [T, dh]
+        else:
+            v = (
+                jax.lax.dot_general(
+                    xx, wv_ref[h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bv_ref[h]
+            )  # [T, dh]
         o = jax.lax.dot_general(
             p.astype(xx.dtype), v.astype(xx.dtype),
             (((1,), (0,)), ((), ())),
@@ -600,26 +668,50 @@ def _attn_block_kernel(
         # the score tile per head)
         outs.append((o / denom).astype(xx.dtype))
     attn = jnp.concatenate(outs, axis=-1)  # [T, dm] (lane-dim concat)
-    out = (
-        jax.lax.dot_general(
-            attn, wo_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    if int8:
+        aq, as_ = _quant_rows(attn.astype(jnp.float32))
+        out = (
+            jax.lax.dot_general(
+                aq, wo_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            * as_
+            * so_ref[...]
+            + bo_ref[...]
         )
-        + bo_ref[...]
-    )
+    else:
+        out = (
+            jax.lax.dot_general(
+                attn, wo_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bo_ref[...]
+        )
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "int8"))
 def attention_block(
-    x, w_qkv, b_qkv, w_out, b_out, key_mask, num_heads: int, interpret: bool = False
+    x,
+    w_qkv,
+    b_qkv,
+    w_out,
+    b_out,
+    key_mask,
+    num_heads: int,
+    interpret: bool = False,
+    int8: bool = False,
 ):
     """Fused attention block: ``attn_out(MHA(x·Wqkv))`` in ONE Pallas kernel.
 
     x: [B, T, dm]; w_qkv: [dm, 3·dm] (the fused projection's nn.Dense
     kernel); b_qkv: [3·dm]; w_out/b_out: the output projection. Returns
     [B, T, dm] (pre-residual, pre-LayerNorm). Inference hot path only — NOT
-    differentiable (gate on ``deterministic``, like the fused FFN)."""
+    differentiable (gate on ``deterministic``, like the fused FFN).
+
+    ``int8=True`` runs the four projections W8A8 (per-output-channel weight
+    scales computed here from the f32 master params, per-row activation
+    scales in-kernel); attention's own dots stay bf16."""
     b, t, dm = x.shape
     h = num_heads
     dh = dm // h
@@ -639,22 +731,77 @@ def attention_block(
     bv = b3[2][:, None, :]
     key_mask3 = key_mask[:, None, :]
 
+    head_spec = pl.BlockSpec((h, dm, dh), lambda bi: (0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, t_pad, dm), lambda bi: (bi, 0, 0)),
+        head_spec,
+        head_spec,
+        head_spec,
+        pl.BlockSpec((h, 1, dh), lambda bi: (0, 0, 0)),
+        pl.BlockSpec((h, dh, 1), lambda bi: (0, 0, 0)),
+        pl.BlockSpec((h, 1, dh), lambda bi: (0, 0, 0)),
+        pl.BlockSpec((dm, dm), lambda bi: (0, 0)),
+        pl.BlockSpec((1, dm), lambda bi: (0, 0)),
+    ]
+    mask_spec = pl.BlockSpec((1, 1, t_pad), lambda bi: (bi, 0, 0))
+    biases = (
+        bq.astype(jnp.float32),
+        bk.astype(jnp.float32),
+        bv.astype(jnp.float32),
+    )
+
+    if int8:
+        def qw3(w):  # [H, dm, dh]: per-output-channel over the dm axis
+            amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1, keepdims=True)
+            s = jnp.maximum(amax, 1e-8) / 127.0
+            return (
+                jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127).astype(
+                    jnp.int8
+                ),
+                s,  # [H, 1, dh]
+            )
+
+        from msa_tpu.ops.quant import quantize_weight_cols
+
+        wq_i, sq = qw3(wq)
+        wk_i, sk = qw3(wk)
+        wv_i, sv = qw3(wv)
+        wo_i, so = quantize_weight_cols(w_out)
+        out = pl.pallas_call(
+            functools.partial(_attn_block_int8_kernel, scale=scale, num_heads=h),
+            out_shape=jax.ShapeDtypeStruct((b, t_pad, dm), x.dtype),
+            grid=(b,),
+            in_specs=in_specs
+            + [
+                pl.BlockSpec((h, 1, dh), lambda bi: (0, 0, 0)),
+                pl.BlockSpec((h, dh, 1), lambda bi: (0, 0, 0)),
+                pl.BlockSpec((h, 1, dh), lambda bi: (0, 0, 0)),
+                pl.BlockSpec((1, dm), lambda bi: (0, 0)),
+                mask_spec,
+            ],
+            out_specs=pl.BlockSpec((1, t_pad, dm), lambda bi: (bi, 0, 0)),
+            interpret=interpret,
+        )(
+            x,
+            wq_i,
+            wk_i,
+            wv_i,
+            *biases,
+            wo_i,
+            b_out[None, :].astype(jnp.float32),
+            sq,
+            sk.transpose(0, 2, 1),  # [H, dh, 1] — kt's row scales
+            sv,
+            so[None, :].astype(jnp.float32),
+            key_mask3,
+        )
+        return out[:, :t]
+
     out = pl.pallas_call(
         functools.partial(_attn_block_kernel, scale=scale, num_heads=h),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, dm), x.dtype),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, t_pad, dm), lambda bi: (bi, 0, 0)),
-            pl.BlockSpec((h, dm, dh), lambda bi: (0, 0, 0)),
-            pl.BlockSpec((h, dm, dh), lambda bi: (0, 0, 0)),
-            pl.BlockSpec((h, dm, dh), lambda bi: (0, 0, 0)),
-            pl.BlockSpec((h, 1, dh), lambda bi: (0, 0, 0)),
-            pl.BlockSpec((h, dh, 1), lambda bi: (0, 0, 0)),
-            pl.BlockSpec((h, 1, dh), lambda bi: (0, 0, 0)),
-            pl.BlockSpec((dm, dm), lambda bi: (0, 0)),
-            pl.BlockSpec((1, dm), lambda bi: (0, 0)),
-            pl.BlockSpec((1, 1, t_pad), lambda bi: (bi, 0, 0)),
-        ],
+        in_specs=in_specs + [mask_spec],
         out_specs=pl.BlockSpec((1, t_pad, dm), lambda bi: (bi, 0, 0)),
         interpret=interpret,
     )(
@@ -662,9 +809,7 @@ def attention_block(
         wq.astype(x.dtype),
         wk.astype(x.dtype),
         wv.astype(x.dtype),
-        bq.astype(jnp.float32),
-        bk.astype(jnp.float32),
-        bv.astype(jnp.float32),
+        *biases,
         w_out.astype(x.dtype),
         b_out[None, :].astype(jnp.float32),
         key_mask3,

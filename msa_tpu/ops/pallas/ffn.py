@@ -103,6 +103,86 @@ def ffn_fused(
     return out[:n]
 
 
+def _ffn_int8_kernel(
+    x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref
+):
+    """W8A8 FFN: int8×int8→int32 MXU dots (~1.8× the bf16 rate, measured),
+    per-row dynamic activation scales computed in VMEM, f32 dequant/GELU."""
+    x = x_ref[...].astype(jnp.float32)  # [BM, d]
+    amax1 = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-8)
+    xs = amax1 / 127.0  # [BM, 1]
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    h = jax.lax.dot_general(
+        xq, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = h * xs * s1_ref[...] + b1_ref[...]  # [BM, f] dequant + bias (f32)
+    h = _gelu_exact(h)
+    amax2 = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True), 1e-8)
+    hs = amax2 / 127.0
+    hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+    o = jax.lax.dot_general(
+        hq, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    o = o * hs * s2_ref[...] + b2_ref[...]
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def ffn_fused_int8(
+    x: jnp.ndarray,  # [N, d]
+    w1: jnp.ndarray,  # [d, f] f32/bf16 master weights
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,  # [f, d]
+    b2: jnp.ndarray,
+    block_m: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """:func:`ffn_fused` in the int8 serving mode (W8A8).
+
+    Master weights quantize per output channel on the fly in XLA (one cheap
+    pass; params/checkpoints unchanged); activations quantize per row inside
+    the kernel. Standard W8A8 error on these shapes: ~0.5–2% relative on the
+    FFN output (tested in tests/test_pallas_ffn.py)."""
+    from msa_tpu.ops.quant import quantize_weight_cols
+
+    n, d = x.shape
+    f = w1.shape[1]
+    assert d % 128 == 0 and f % 128 == 0, (d, f)
+    w1q, s1 = quantize_weight_cols(w1)
+    w2q, s2 = quantize_weight_cols(w2)
+    bm = min(block_m, n)
+    n_pad = ((n + bm - 1) // bm) * bm
+    if n_pad != n:
+        x = jnp.pad(x, [(0, n_pad - n), (0, 0)])
+    out = pl.pallas_call(
+        _ffn_int8_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), x.dtype),
+        grid=(n_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda mi: (mi, 0)),
+            pl.BlockSpec((d, f), lambda mi: (0, 0)),
+            pl.BlockSpec((1, f), lambda mi: (0, 0)),
+            pl.BlockSpec((1, f), lambda mi: (0, 0)),
+            pl.BlockSpec((f, d), lambda mi: (0, 0)),
+            pl.BlockSpec((1, d), lambda mi: (0, 0)),
+            pl.BlockSpec((1, d), lambda mi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda mi: (mi, 0)),
+        interpret=interpret,
+    )(
+        x,
+        w1q,
+        s1[None, :].astype(jnp.float32),
+        b1[None, :].astype(jnp.float32),
+        w2q,
+        s2[None, :].astype(jnp.float32),
+        b2[None, :].astype(jnp.float32),
+    )
+    return out[:n]
+
+
 def ffn_reference(x, w1, b1, w2, b2):
     """Plain-XLA reference (same math; hidden tensor round-trips HBM)."""
     h = jax.lax.dot_general(

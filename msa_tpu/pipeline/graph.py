@@ -83,17 +83,27 @@ class PipelineModels:
         text_cfg: Optional[TextModelConfig] = None,
         fusion: Optional[FusionMLP] = None,
         fusion_params: Any = None,
+        quantize: Optional[str] = None,
     ) -> "PipelineModels":
         import dataclasses as dc
 
         from msa_tpu.models.transformer import EncoderConfig
 
-        # Production encoder recipe: bfloat16 matmuls on the MXU + the fused
-        # Pallas attention kernel. Feature math and the fusion MLP stay f32
-        # (they carry the 1e-3 parity contract); the encoders are our own
-        # models, so bf16 is the right TPU default.
+        # Production encoder recipe: bfloat16 matmuls on the MXU, the fused
+        # Pallas attention-block + FFN kernels, and the W8A8 int8 serving
+        # mode for the projection/FFN matmuls (~1.8× MXU rate; median ~1%
+        # relative output error vs f32, tests/test_pallas_*). Feature math
+        # and the fusion MLP stay f32 (they carry the 1e-3 parity contract);
+        # the encoders are our own models, so precision is a serving choice —
+        # pass quantize="none" (or MSA_QUANTIZE=none) for full bf16.
+        import os
+
+        quantize = quantize or os.environ.get("MSA_QUANTIZE", "int8")
         prod_enc = EncoderConfig(
-            compute_dtype="bfloat16", attention_impl="pallas", ffn_impl="pallas"
+            compute_dtype="bfloat16",
+            attention_impl="pallas",
+            ffn_impl="pallas",
+            quantize=quantize,
         )
         face_cfg = face_cfg or FaceModelConfig()
         audio_cfg = audio_cfg or AudioModelConfig(encoder=prod_enc)

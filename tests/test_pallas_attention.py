@@ -334,3 +334,59 @@ def test_pallas_backward_long_t_flash_forward(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=3e-4, err_msg=f"d{name}"
         )
+
+
+def test_attention_block_int8_close_to_f32(rng):
+    """W8A8 serving mode on the fused block: projections quantize (per-
+    channel weights, per-row activations), attention dots stay full
+    precision — output within a few % relative of the f32 path."""
+    from msa_tpu.ops.pallas.attention import attention_block
+
+    b, t, dm, h = 2, 50, 128, 4
+    x = rng.normal(size=(b, t, dm)).astype(np.float32)
+    w_qkv = (rng.normal(size=(dm, 3 * dm)) / np.sqrt(dm)).astype(np.float32)
+    b_qkv = (0.1 * rng.normal(size=3 * dm)).astype(np.float32)
+    w_out = (rng.normal(size=(dm, dm)) / np.sqrt(dm)).astype(np.float32)
+    b_out = (0.1 * rng.normal(size=dm)).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+    mask[0, 30:] = 0.0
+
+    f32 = np.asarray(
+        attention_block(x, w_qkv, b_qkv, w_out, b_out, mask, h, True, int8=False)
+    )
+    i8 = np.asarray(
+        attention_block(x, w_qkv, b_qkv, w_out, b_out, mask, h, True, int8=True)
+    )
+    rel = np.abs(i8 - f32) / np.maximum(np.abs(f32), 1.0)
+    assert rel.max() < 0.08, rel.max()
+    assert np.median(rel) < 0.02, np.median(rel)
+
+
+def test_encoder_int8_mode_close_to_f32(rng):
+    """quantize="int8" end-to-end through a 2-layer encoder: outputs stay
+    close to the full-precision pallas path (post-LN activations are O(1),
+    so absolute tolerance is meaningful)."""
+    import dataclasses
+
+    import jax
+
+    from msa_tpu.models.transformer import EncoderConfig, TransformerEncoder
+
+    cfg = EncoderConfig(
+        num_layers=2, d_model=128, num_heads=4, d_ff=256, attention_impl="pallas",
+        ffn_impl="pallas",
+    )
+    x = rng.normal(size=(2, 40, cfg.d_model)).astype(np.float32)
+    mask = np.ones((2, 40), np.int32)
+    enc = TransformerEncoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0), x, mask)["params"]
+    enc_q = TransformerEncoder(dataclasses.replace(cfg, quantize="int8"))
+    assert (
+        jax.tree.structure(params)
+        == jax.tree.structure(enc_q.init(jax.random.PRNGKey(0), x, mask)["params"])
+    )
+    out_f = np.asarray(enc.apply({"params": params}, x, mask))
+    out_q = np.asarray(enc_q.apply({"params": params}, x, mask))
+    err = np.abs(out_q - out_f)
+    assert np.median(err) < 0.02, np.median(err)
+    assert err.max() < 0.25, err.max()

@@ -83,3 +83,23 @@ def test_encoder_pallas_ffn_training_path_differentiable(rng):
     # fc_in/fc_out gradients are nonzero (the dense path was taken)
     g_fc = grads["layer_0"]["fc_in"]["kernel"]
     assert float(np.abs(np.asarray(g_fc)).max()) > 0
+
+
+def test_ffn_int8_close_to_f32(rng):
+    """W8A8 serving mode: per-channel weight + per-row activation scales keep
+    the FFN output within ~2% relative of the f32 path on realistic
+    magnitudes (LayerNormed inputs, lecun-scaled weights)."""
+    from msa_tpu.ops.pallas.ffn import ffn_fused_int8
+
+    n, d, f = 256, 128, 256
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    w1 = (rng.normal(size=(d, f)) / np.sqrt(d)).astype(np.float32)
+    b1 = (0.1 * rng.normal(size=f)).astype(np.float32)
+    w2 = (rng.normal(size=(f, d)) / np.sqrt(f)).astype(np.float32)
+    b2 = (0.1 * rng.normal(size=d)).astype(np.float32)
+    got = np.asarray(ffn_fused_int8(x, w1, b1, w2, b2, interpret=True))
+    want = np.asarray(ffn_reference(x, w1, b1, w2, b2))
+    denom = np.maximum(np.abs(want), 1.0)
+    rel = np.abs(got - want) / denom
+    assert rel.max() < 0.05, rel.max()
+    assert np.median(rel) < 0.01, np.median(rel)
