@@ -145,6 +145,13 @@ class ConvFeatureExtractor(nn.Module):
         for i, (ch, k, s) in enumerate(
             zip(c.conv_channels, c.conv_kernels, c.conv_strides)
         ):
+            # NOTE: an int8 (W8A8) conv path was measured and REJECTED here:
+            # the raw int8 conv is 1.47× faster than bf16 at these shapes,
+            # but per-tensor activation quant breaks the GN/GELU→conv
+            # epilogue fusion and adds passes over the (huge) early
+            # activations — net extractor time was unchanged (BASELINE.md).
+            # The encoders' matmul kernels keep int8 (EncoderConfig.quantize);
+            # the extractor stays bf16 conv.
             as_matmul = c.extractor_impl == "matmul" and i > 0 and s == 2 and k in (2, 3)
             if as_matmul:
                 # declares the SAME conv_{i}/kernel param path (and default
