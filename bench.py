@@ -22,7 +22,6 @@ realtime per chip (BASELINE.json:5) — 1.0 means the target is met exactly.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import numpy as np
@@ -32,6 +31,7 @@ def _enable_compile_cache():
     from msa_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()
+
 
 SEGMENT_SECONDS = 5.0
 TARGET_X_REALTIME = 50.0

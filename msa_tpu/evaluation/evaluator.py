@@ -104,9 +104,28 @@ class ModelEvaluator:
         for r in segments:
             truth = ground_truth.get(key_of(r), ["neutro"])
             if modality == "fused":
-                v = np.asarray(r["fused_vec"], np.float64)[:7]
-                e = np.exp(v - v.max())
-                s = e / e.sum()
+                combo = r.get("modalities")
+                if combo is not None and int(combo).bit_count() < 2:
+                    # degraded segment: fused_vec is a raw single-modality
+                    # slice (or a default vector), NOT fused-head logits —
+                    # softmaxing it as PT-UI logits would pollute the AUC.
+                    # Use the modality's true probability vector instead.
+                    probs = {
+                        0b100: r.get("face_probs"),
+                        0b010: r.get("audio_probs"),
+                        0b001: r.get("text_probs"),
+                    }.get(int(combo))
+                    if probs is None:
+                        s = np.full(7, 1 / 7.0)
+                    else:
+                        s = emotions.reorder_np(
+                            np.asarray(probs, np.float64)[:7],
+                            emotions.CANONICAL_TO_PT_UI,
+                        )
+                else:
+                    v = np.asarray(r["fused_vec"], np.float64)[:7]
+                    e = np.exp(v - v.max())
+                    s = e / e.sum()
             else:
                 probs = r.get(f"{modality}_probs")
                 if probs is None:

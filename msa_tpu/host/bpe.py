@@ -137,17 +137,19 @@ class ByteLevelBPE:
         ids: List[int] = []
         for tok in _PRETOK.findall(text):
             mapped = "".join(self._byte_encoder[b] for b in tok.encode("utf-8"))
+            tok_ids: List[int] = []
             for piece in self._bpe(mapped):
                 pid = self.vocab.get(piece)
                 if pid is None:
                     # full byte coverage means this only happens for pieces
                     # our stdlib pre-tokenizer splits differently from the
-                    # canonical \p{L} pattern — fall back to raw bytes
-                    ids.extend(
-                        self.vocab[c] for c in mapped if c in self.vocab
-                    )
+                    # canonical \p{L} pattern (or a truncated vocab) — fall
+                    # back to raw bytes for the WHOLE token, discarding any
+                    # pieces already collected (they would duplicate)
+                    tok_ids = [self.vocab[c] for c in mapped if c in self.vocab]
                     break
-                ids.append(pid)
+                tok_ids.append(pid)
+            ids.extend(tok_ids)
         return ids
 
     def decode(self, ids) -> str:

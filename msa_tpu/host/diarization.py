@@ -299,33 +299,41 @@ class NeuralDiarizer:
         (or while over max_k); stops at min_k clusters."""
         n = len(embs)
         labels = np.arange(n)
-        centroids = {i: embs[i].copy() for i in range(n)}
-        sizes = {i: 1 for i in range(n)}
+        active = np.ones(n, bool)
+        sizes = np.ones(n, np.float64)
+        cent = embs.astype(np.float64).copy()
 
-        def _best_pair():
-            keys = sorted(centroids)
-            best, best_sim = None, -2.0
-            for a_i, a in enumerate(keys):
-                ca = centroids[a] / (np.linalg.norm(centroids[a]) + 1e-8)
-                for b in keys[a_i + 1 :]:
-                    cb = centroids[b] / (np.linalg.norm(centroids[b]) + 1e-8)
-                    sim = float(ca @ cb)
-                    if sim > best_sim:
-                        best, best_sim = (a, b), sim
-            return best, best_sim
+        def _unit(v: np.ndarray) -> np.ndarray:
+            return v / (np.linalg.norm(v) + 1e-8)
 
-        while len(centroids) > max(min_k, 1):
-            pair, sim = _best_pair()
-            if pair is None:
+        # full cosine-similarity matrix once, then one row/col update per
+        # merge — O(n²) numpy per merge instead of Python-loop pair scans
+        # (hour-long recordings produce hundreds of VAD spans)
+        normed = cent / (np.linalg.norm(cent, axis=1, keepdims=True) + 1e-8)
+        sim_m = normed @ normed.T
+        np.fill_diagonal(sim_m, -2.0)
+        k = n
+        while k > max(min_k, 1):
+            masked = np.where(np.outer(active, active), sim_m, -2.0)
+            a, b = divmod(int(np.argmax(masked)), n)
+            sim = float(masked[a, b])
+            if sim <= -2.0:
                 break
-            if sim < threshold and len(centroids) <= max_k:
+            if sim < threshold and k <= max_k:
                 break
-            a, b = pair
+            a, b = min(a, b), max(a, b)
             total = sizes[a] + sizes[b]
-            centroids[a] = (centroids[a] * sizes[a] + centroids[b] * sizes[b]) / total
+            cent[a] = (cent[a] * sizes[a] + cent[b] * sizes[b]) / total
             sizes[a] = total
-            del centroids[b], sizes[b]
+            active[b] = False
             labels[labels == b] = a
+            normed[a] = _unit(cent[a])
+            sim_m[a, :] = normed @ normed[a]
+            sim_m[:, a] = sim_m[a, :]
+            sim_m[a, a] = -2.0
+            sim_m[b, :] = -2.0
+            sim_m[:, b] = -2.0
+            k -= 1
         # compact to 0..k-1 by first appearance
         remap: Dict[int, int] = {}
         out = np.empty(n, np.int64)
@@ -348,10 +356,12 @@ class NeuralDiarizer:
 
 def make_diarizer(name: str, processing_config, diarization_config=None) -> Diarizer:
     """Factory keyed by DiarizationConfig.model."""
-    if name in ("neural", "speaker-embedding") and diarization_config is not None:
+    if name in ("neural", "speaker-embedding"):
         import os
 
-        weights = diarization_config.speaker_weights
+        weights = (
+            diarization_config.speaker_weights if diarization_config else None
+        )
         if weights and os.path.exists(weights):
             from msa_tpu.models.speaker import (
                 SpeakerConfig,
@@ -370,6 +380,7 @@ def make_diarizer(name: str, processing_config, diarization_config=None) -> Diar
                 max_speakers=diarization_config.max_speakers,
             )
         # no trained checkpoint on disk → deterministic clustering fallback
+        # (keeps multi-speaker labeling, unlike the single-speaker VAD)
         name = "clustering"
     if name in ("fixed-window", "fixed"):
         return FixedWindowDiarizer(processing_config.segment_duration)
@@ -380,10 +391,19 @@ def make_diarizer(name: str, processing_config, diarization_config=None) -> Diar
             min_pause_duration=processing_config.min_pause_duration,
         )
     if name in ("clustering", "cluster", "multi-speaker"):
+        kwargs = {}
+        if diarization_config is not None:
+            # the configured speaker bounds apply to the fallback too — a
+            # max_speakers=2 config must never emit SPEAKER_03 labels
+            kwargs = dict(
+                min_speakers=diarization_config.min_speakers,
+                max_speakers=diarization_config.max_speakers,
+            )
         return ClusteringDiarizer(
             segment_duration=processing_config.segment_duration,
             min_speech_duration=processing_config.min_speech_duration,
             min_pause_duration=processing_config.min_pause_duration,
+            **kwargs,
         )
     if name.startswith("pyannote"):
         try:

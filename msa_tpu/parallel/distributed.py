@@ -29,22 +29,26 @@ def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    autodetect: bool = False,
 ) -> bool:
     """Join (or skip joining) a multi-host jax job.
 
     Arguments default to the standard env vars (``MSA_COORDINATOR``,
-    ``MSA_NUM_PROCESSES``, ``MSA_PROCESS_ID``); on TPU pods
-    ``jax.distributed.initialize()`` also autodetects from the TPU metadata
-    server, so all-None is valid there. Returns True when a multi-process
-    runtime was initialized, False for the single-process fallback (no env,
-    no explicit args, not on a pod) — callers can branch on it but normally
-    don't need to: ``jax.devices()`` is global either way.
+    ``MSA_NUM_PROCESSES``, ``MSA_PROCESS_ID``). On TPU pods
+    ``jax.distributed.initialize()`` autodetects everything from the TPU
+    metadata server — request that path explicitly with ``autodetect=True``
+    (or ``MSA_MULTIHOST=auto``); it is not the default because on a dev
+    machine a bare initialize() blocks waiting for a coordinator. Returns
+    True when a multi-process runtime was initialized, False for the
+    single-process fallback — callers can branch on it but normally don't
+    need to: ``jax.devices()`` is global either way.
     """
     coordinator_address = coordinator_address or os.environ.get("MSA_COORDINATOR")
     if num_processes is None and "MSA_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["MSA_NUM_PROCESSES"])
     if process_id is None and "MSA_PROCESS_ID" in os.environ:
         process_id = int(os.environ["MSA_PROCESS_ID"])
+    autodetect = autodetect or os.environ.get("MSA_MULTIHOST") == "auto"
 
     given = (coordinator_address, num_processes, process_id)
     if any(v is not None for v in given) and None in given:
@@ -54,6 +58,9 @@ def initialize_multihost(
             "MSA_COORDINATOR / MSA_NUM_PROCESSES / MSA_PROCESS_ID env vars"
         )
     if coordinator_address is None:
+        if autodetect:
+            jax.distributed.initialize()  # TPU-pod metadata autodetection
+            return True
         return False  # single-process (the normal dev/test path)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

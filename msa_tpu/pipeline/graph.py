@@ -85,8 +85,6 @@ class PipelineModels:
         fusion_params: Any = None,
         quantize: Optional[str] = None,
     ) -> "PipelineModels":
-        import dataclasses as dc
-
         from msa_tpu.models.transformer import EncoderConfig
 
         # Production encoder recipe: bfloat16 matmuls on the MXU, the fused
@@ -118,7 +116,6 @@ class PipelineModels:
         # pretrained face assets drop in when configured (the reference's
         # face path was pretrained MediaPipe + DeepFace; see
         # face_lib.params_from_keras_fer / training.train_landmarks)
-        import os
 
         if face_cfg.landmark_weights and os.path.exists(face_cfg.landmark_weights):
             landmark_params = face_lib.load_landmark_weights(
@@ -523,8 +520,18 @@ class SegmentPipeline:
         subsequent ``run()`` calls hit. A host fetch forces completion under
         the axon tunnel. Returns the number of shapes compiled."""
         params = self.models.params_tree()
-        token_cap = self.models.text.cfg.max_positions
-        buckets = tuple(dict.fromkeys(min(t, token_cap) for t in token_buckets))
+        # the SAME cap the processors' bucketing applies (min of the config
+        # text limit and the model's positions): they dispatch shapes from
+        # {buckets ≤ cap} ∪ {cap}, so warm exactly that set — a config with
+        # text.max_length=256 must precompile 256, not an unreachable 512
+        token_cap = min(
+            self.config.text.max_length, self.models.text.cfg.max_positions
+        )
+        buckets = tuple(
+            dict.fromkeys(
+                [t for t in token_buckets if t <= token_cap] + [token_cap]
+            )
+        )
         n = 0
         for b in batch_sizes:
             for t in buckets:

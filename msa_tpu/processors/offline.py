@@ -322,16 +322,23 @@ class OfflineProcessor:
                 fp, ap, tp, combo = fp[:b], ap[:b], tp[:b], combo[:b]
             for i, seg in enumerate(batch):
                 fused_vec = fused[i]
-                if int(combo[i]) in (0b100, 0b010, 0b001, 0b000):
+                if int(combo[i]) == 0:
+                    # nothing available at all (padded row or every modality
+                    # failed): 'neutro', matching the evaluator's unknown
+                    # default — argmax over a uniform vector would
+                    # deterministically claim PT_UI[0]='feliz'
+                    label = "neutro"
+                elif int(combo[i]) in (0b100, 0b010, 0b001):
                     # <2 modalities: fuse_combo passes the single modality's
                     # post-LN slice through — its entries are NOT in the fused
                     # head's taxonomy, so argmax-as-PT_UI would mislabel
                     # (round-1 advisor finding). Label from the modality's
                     # true probability vector instead, reordered into the
                     # UI convention.
-                    single = {0b100: fp, 0b010: ap, 0b001: tp}.get(int(combo[i]))
-                    probs = single[i] if single is not None else np.full(7, 1 / 7)
-                    probs_pt = emotions.reorder_np(probs, emotions.CANONICAL_TO_PT_UI)
+                    single = {0b100: fp, 0b010: ap, 0b001: tp}[int(combo[i])]
+                    probs_pt = emotions.reorder_np(
+                        single[i], emotions.CANONICAL_TO_PT_UI
+                    )
                     label = emotions.PT_UI[int(np.argmax(probs_pt))]
                 else:
                     # argmax label in the reference's UI convention
@@ -357,6 +364,12 @@ class OfflineProcessor:
                         "transcript": transcripts[i],
                         "fused_vec": fused_vec.tolist(),
                         "fused_emotion": label,
+                        # rebuild addition: the modality-availability bitmask
+                        # (face=4, audio=2, text=1) — lets consumers (e.g.
+                        # the evaluator's score-based AUC) know when
+                        # fused_vec is a raw single-modality slice rather
+                        # than fused-head logits
+                        "modalities": int(combo[i]),
                     }
                 )
             if on_progress:

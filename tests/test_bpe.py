@@ -107,3 +107,17 @@ def test_auto_tokenizer_tiers(tmp_path, monkeypatch):
     monkeypatch.setenv("MSA_WHISPER_ASSETS", str(tmp_path))
     tok3 = T._auto_tokenizer(WhisperConfig())
     assert tok3.vocab is not None
+
+
+def test_asset_bpe_fallback_does_not_duplicate_prefix_pieces(tmp_path):
+    """When a later BPE piece is missing from the vocab (truncated assets),
+    the whole token falls back to raw bytes ONCE — already-collected prefix
+    pieces must be discarded, not emitted alongside the byte fallback."""
+    vocab = _mini_assets(tmp_path)
+    tok = load_whisper_tokenizer(str(tmp_path))
+    # 'hellq': merges produce pieces ['hell', 'q'] and 'q' is NOT in the
+    # vocab; every letter of 'hell' IS, so the byte fallback covers them
+    ids = tok.encode("hellq")
+    decoded = tok.decode(ids)
+    assert "hellhell" not in decoded
+    assert decoded == "hell"  # 'q' has no byte-level coverage in this vocab
