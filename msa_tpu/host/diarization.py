@@ -359,7 +359,9 @@ def make_diarizer(name: str, processing_config, diarization_config=None) -> Diar
     if name in ("neural", "speaker-embedding"):
         import os
 
-        weights = (
+        from msa_tpu.utils.assets import resolve_asset
+
+        weights = resolve_asset(
             diarization_config.speaker_weights if diarization_config else None
         )
         if weights and os.path.exists(weights):

@@ -46,13 +46,24 @@ class FaceModelConfig:
     # drop in via params_from_keras_fer.
     cnn_arch: str = "native"
     # optional weight assets: .npz Keras FER export (emotion CNN, deepface
-    # arch) and flax-msgpack landmark params (training.train_landmarks)
+    # arch) and flax-msgpack landmark params (training.train_landmarks).
+    # The landmark default points at the repo-shipped synthetic-supervision
+    # checkpoint (resolved via utils.assets; silently skipped if absent) —
+    # the emotion CNN has no in-env training data, so it stays random until
+    # a FER export is configured.
     emotion_weights: "Optional[str]" = None
-    landmark_weights: "Optional[str]" = None
+    landmark_weights: "Optional[str]" = "checkpoints/landmark_net.msgpack"
 
     @classmethod
     def tiny(cls) -> "FaceModelConfig":
-        return cls(backbone_channels=(4, 8), cnn_channels=(4, 8), frame_size=32)
+        # landmark_weights=None: the shipped full-size checkpoint must not
+        # load into the tiny net (shape mismatch)
+        return cls(
+            backbone_channels=(4, 8),
+            cnn_channels=(4, 8),
+            frame_size=32,
+            landmark_weights=None,
+        )
 
 
 def rgb_to_gray(frame: jnp.ndarray) -> jnp.ndarray:

@@ -117,14 +117,16 @@ class PipelineModels:
         # face path was pretrained MediaPipe + DeepFace; see
         # face_lib.params_from_keras_fer / training.train_landmarks)
 
-        if face_cfg.landmark_weights and os.path.exists(face_cfg.landmark_weights):
-            landmark_params = face_lib.load_landmark_weights(
-                landmark, face_cfg.landmark_weights
-            )
+        from msa_tpu.utils.assets import resolve_asset
+
+        lm_w = resolve_asset(face_cfg.landmark_weights)
+        if lm_w and os.path.exists(lm_w):
+            landmark_params = face_lib.load_landmark_weights(landmark, lm_w)
         else:
             landmark_params = face_lib.init_landmark_params(landmark, seed)
-        if face_cfg.emotion_weights and os.path.exists(face_cfg.emotion_weights):
-            face_cnn_params = face_lib.load_emotion_weights(face_cfg.emotion_weights)
+        emo_w = resolve_asset(face_cfg.emotion_weights)
+        if emo_w and os.path.exists(emo_w):
+            face_cnn_params = face_lib.load_emotion_weights(emo_w)
         else:
             face_cnn_params = face_lib.init_emotion_params(face_cnn, seed + 1)
         return cls(
