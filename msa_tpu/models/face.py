@@ -303,7 +303,11 @@ def load_landmark_weights(model: "FaceLandmarkNet", path: str) -> Any:
     import flax.serialization
 
     template = init_landmark_params(model, seed=0)
-    return flax.serialization.from_bytes(template, Path(path).read_bytes())
+    restored = flax.serialization.from_bytes(template, Path(path).read_bytes())
+    # device_put: msgpack restore yields NUMPY leaves, and numpy args to a
+    # jitted call re-upload host→device on EVERY invocation — measured as a
+    # ~300 ms/call regression through the axon tunnel
+    return jax.device_put(restored)
 
 
 def init_landmark_params(model: FaceLandmarkNet, seed: int = 0) -> Any:

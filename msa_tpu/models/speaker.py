@@ -128,7 +128,9 @@ def save_params(params: Any, path: str) -> None:
 def load_params(model: SpeakerEmbeddingNet, path: str) -> Any:
     payload = flax.serialization.msgpack_restore(Path(path).read_bytes())
     template = init_params(model)
-    return flax.serialization.from_state_dict(template, payload["params"])
+    restored = flax.serialization.from_state_dict(template, payload["params"])
+    # numpy leaves re-upload per jitted call; pin them on device once
+    return jax.device_put(restored)
 
 
 # --- GE2E contrastive objective ------------------------------------------------

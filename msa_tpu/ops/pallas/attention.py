@@ -564,10 +564,11 @@ def _attn_block_int8_kernel(
 
 
 def _quant_rows(xf):
-    """Per-row symmetric int8: (x_i8, row_scale [T, 1] f32)."""
-    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
-    s = amax / 127.0
-    return jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8), s
+    """Per-row symmetric int8: (x_i8, row_scale [T, 1] f32). One shared
+    recipe for all W8A8 kernels — see msa_tpu.ops.quant."""
+    from msa_tpu.ops.quant import quantize_rows
+
+    return quantize_rows(xf)
 
 
 def _attn_block_body(
@@ -751,21 +752,12 @@ def attention_block(
     )
 
     if int8:
-        def qw3(w):  # [H, dm, dh]: per-output-channel over the dm axis
-            amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1, keepdims=True)
-            s = jnp.maximum(amax, 1e-8) / 127.0
-            return (
-                jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127).astype(
-                    jnp.int8
-                ),
-                s,  # [H, 1, dh]
-            )
+        from msa_tpu.ops.quant import quantize_weight_axis, quantize_weight_cols
 
-        from msa_tpu.ops.quant import quantize_weight_cols
-
-        wq_i, sq = qw3(wq)
-        wk_i, sk = qw3(wk)
-        wv_i, sv = qw3(wv)
+        # [H, dm, dh]: per-output-channel over the dm (contraction) axis
+        wq_i, sq = quantize_weight_axis(wq, axis=1)  # scales [H, 1, dh]
+        wk_i, sk = quantize_weight_axis(wk, axis=1)
+        wv_i, sv = quantize_weight_axis(wv, axis=1)
         wo_i, so = quantize_weight_cols(w_out)
         out = pl.pallas_call(
             functools.partial(_attn_block_int8_kernel, scale=scale, num_heads=h),

@@ -28,3 +28,31 @@ def quantize_weight_cols(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         jnp.int8
     )
     return w_i8, scale
+
+
+def quantize_weight_axis(
+    w: jnp.ndarray, axis: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantization reducing over ``axis`` (the contraction
+    dim), keeping per-channel scales on the remaining axes (kept with a
+    singleton ``axis`` for direct broadcast)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    w_i8 = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return w_i8, scale
+
+
+def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8 activation quantization: (x_i8, scale [.., 1]).
+
+    Shared by the Pallas kernels (pure jnp — traces inside a kernel)."""
+    amax = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True), 1e-8
+    )
+    scale = amax / 127.0
+    x_i8 = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return x_i8, scale

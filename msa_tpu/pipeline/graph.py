@@ -117,17 +117,41 @@ class PipelineModels:
         # face path was pretrained MediaPipe + DeepFace; see
         # face_lib.params_from_keras_fer / training.train_landmarks)
 
+        import logging
+
         from msa_tpu.utils.assets import resolve_asset
 
+        logger = logging.getLogger(__name__)
+        landmark_params = None
         lm_w = resolve_asset(face_cfg.landmark_weights)
         if lm_w and os.path.exists(lm_w):
-            landmark_params = face_lib.load_landmark_weights(landmark, lm_w)
-        else:
+            try:
+                landmark_params = face_lib.load_landmark_weights(landmark, lm_w)
+            except Exception as e:
+                # the default points at the repo-shipped full-size
+                # checkpoint; a CUSTOM architecture (different backbone /
+                # frame size) must degrade to random init, not crash
+                logger.warning(
+                    "landmark weights %s don't fit this config (%s); "
+                    "random init",
+                    lm_w,
+                    e,
+                )
+        if landmark_params is None:
             landmark_params = face_lib.init_landmark_params(landmark, seed)
+        face_cnn_params = None
         emo_w = resolve_asset(face_cfg.emotion_weights)
         if emo_w and os.path.exists(emo_w):
-            face_cnn_params = face_lib.load_emotion_weights(emo_w)
-        else:
+            try:
+                face_cnn_params = face_lib.load_emotion_weights(emo_w)
+            except Exception as e:
+                logger.warning(
+                    "emotion weights %s don't fit this config (%s); "
+                    "random init",
+                    emo_w,
+                    e,
+                )
+        if face_cnn_params is None:
             face_cnn_params = face_lib.init_emotion_params(face_cnn, seed + 1)
         return cls(
             landmark=landmark,

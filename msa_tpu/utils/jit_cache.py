@@ -14,8 +14,13 @@ own in tests/conftest.py).
 from __future__ import annotations
 
 import os
+import tempfile
 
-_DEFAULT_DIR = "/tmp/msa_tpu_jit_cache_tpu"
+# per-user default: a world-shared fixed path breaks on multi-user machines
+# (the second user can't write the first user's directory)
+_DEFAULT_DIR = os.path.join(
+    tempfile.gettempdir(), f"msa_tpu_jit_cache_tpu_{os.getuid()}"
+)
 
 
 def enable_persistent_cache(path: str | None = None) -> None:
