@@ -1,4 +1,4 @@
-"""Benchmark — prints ONE JSON line for the driver.
+"""Benchmark — prints complete JSON result lines for the driver.
 
 Metric (BASELINE.json): video-seconds analyzed per second per chip, offline.
 Each analyzed segment covers ``segment_duration`` = 5 s of video (reference
@@ -10,32 +10,84 @@ program over production shapes (192×192 frames, 80 000 audio samples).
 
 ``value`` stays the honest 512-token worst case (every transcript maxed out).
 The production path buckets transcripts to the shortest sufficient token
-length (processors/offline.py), so the JSON also reports the full bucket
-spectrum (tokens → vid-s/s) and the p50 single-segment device latency (the
-streaming path: batch 1, no-text 32-token bucket), making round-over-round
-deltas self-contained (VERDICT r1 item #10).
+length (processors/offline.py), so the record also reports the bucket
+spectrum (tokens → vid-s/s), the p50/p90 single-segment device latency (the
+streaming path: batch 1, no-text 32-token bucket, N=100 fetch-synchronized),
+and an end-to-end ``process_video`` ×-realtime figure on a synthetic video
+(host decode + diarization + device, the honest system-level number).
 
 ``vs_baseline`` is the ratio against the driver-assigned target of 50×
 realtime per chip (BASELINE.json:5) — 1.0 means the target is met exactly.
+
+Driver-budget protocol (round-2 postmortem: BENCH_r02.json was rc=124 — the
+single JSON line was only printed after ~4 cold compiles, so one slow compile
+erased the whole round's record):
+- The HEADLINE (512-token bucket) is measured FIRST and a complete JSON line
+  is printed and flushed the moment it exists. Every subsequent measurement
+  re-prints a complete, enriched line — whichever line the driver keeps
+  (first or last) is valid on its own.
+- A wall-clock budget (``MSA_BENCH_BUDGET_S``, default 420 s) gates each
+  optional stage; stages that don't fit are skipped and listed in
+  ``"skipped"``.
+- On a cold compilation cache the encoders fall back to ``quantize="none"``
+  (halves the Pallas kernel variants to compile → roughly halves cold-compile
+  wall time; bf16-only measured 2588 vs 2879 vid-s/s in round 2) and the
+  record carries ``"degraded": true`` + the active ``"quantize"`` mode.
+- SIGTERM (what ``timeout`` sends first) triggers an immediate final print
+  of whatever has been measured.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
 import time
 
 import numpy as np
 
-
-def _enable_compile_cache():
-    from msa_tpu.utils.jit_cache import enable_persistent_cache
-
-    enable_persistent_cache()
-
-
+T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("MSA_BENCH_BUDGET_S", "420"))
 SEGMENT_SECONDS = 5.0
 TARGET_X_REALTIME = 50.0
 TOKEN_BUCKETS = (32, 128, 512)
+
+_record: dict = {}
+_headline_printed = False
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - T0)
+
+
+def _emit() -> None:
+    """Print ONE complete JSON line from the current record state."""
+    global _headline_printed
+    if "value" not in _record:
+        return  # nothing measured yet — an incomplete line helps nobody
+    out = dict(_record)
+    out["elapsed_s"] = round(time.perf_counter() - T0, 1)
+    print(json.dumps(out), flush=True)
+    _headline_printed = True
+
+
+def _on_sigterm(signum, frame):  # noqa: ARG001
+    _emit()
+    os._exit(0 if _headline_printed else 1)
+
+
+def _cache_is_warm() -> bool:
+    """True when the persistent XLA cache already holds compiled entries
+    (a prior bench/test run on this host) — cold compiles are the round-2
+    failure mode, so coldness picks the cheaper kernel set."""
+    from msa_tpu.utils.jit_cache import _DEFAULT_DIR
+
+    cache = os.environ.get("MSA_JIT_CACHE", _DEFAULT_DIR)
+    try:
+        return any(os.scandir(cache))
+    except OSError:
+        return False
 
 
 def _make_inputs(models, batch: int, tokens: int):
@@ -73,59 +125,204 @@ def _throughput(pipeline, inp, batch: int, iters: int, warmup: int) -> float:
     return batch * iters / dt * SEGMENT_SECONDS
 
 
-def bench_full_pipeline(batch: int = 64, iters: int = 10, warmup: int = 2):
-    from msa_tpu.pipeline.graph import PipelineModels, SegmentPipeline
-
-    models = PipelineModels.initialize(seed=0)
-    pipeline = SegmentPipeline(models)
-
-    # p50 streaming-segment latency FIRST (before the throughput bursts fill
-    # the device queue/arena — measured +14 ms of noise when run after):
-    # batch 1 on the no-text (32-token) bucket — the exact device graph
-    # StreamingProcessor.process_segment dispatches (live streaming passes
-    # text="", D9-faithful), fetch-synchronized.
-    lat_inp = _make_inputs(models, 1, TOKEN_BUCKETS[0])
+def _p50_latency(pipeline, models, tokens: int = 32) -> tuple[float, float]:
+    """p50/p90 streaming-segment latency: batch 1 on the no-text (32-token)
+    bucket — the exact device graph StreamingProcessor.process_segment
+    dispatches (live streaming passes text="", D9-faithful). Protocol
+    (VERDICT r2 #8): 2-warmup settle, then N=100 fetch-synchronized
+    iterations, p50 and p90 reported."""
     import jax
 
-    lat_inp = jax.device_put(lat_inp)
+    lat_inp = jax.device_put(_make_inputs(models, 1, tokens))
     for _ in range(2):
         out, _ = pipeline.run(lat_inp)
         np.asarray(out["fused"])
+    time.sleep(1.0)  # let the in-order device queue fully drain
     lats = []
-    for _ in range(20):
+    for _ in range(100):
         t0 = time.perf_counter()
         out, _ = pipeline.run(lat_inp)
         np.asarray(out["fused"])
         lats.append((time.perf_counter() - t0) * 1000.0)
-    p50_ms = float(np.percentile(lats, 50))
-
-    buckets = {
-        tokens: round(
-            _throughput(pipeline, _make_inputs(models, batch, tokens), batch, iters, warmup),
-            2,
-        )
-        for tokens in TOKEN_BUCKETS
-    }
-    return buckets, p50_ms
+    return float(np.percentile(lats, 50)), float(np.percentile(lats, 90))
 
 
-def main():
-    _enable_compile_cache()
-    buckets, p50_ms = bench_full_pipeline()
-    worst = buckets[max(TOKEN_BUCKETS)]
-    print(
-        json.dumps(
-            {
-                "metric": "offline_video_seconds_per_sec_per_chip",
-                "value": worst,
-                "unit": "video-seconds/sec/chip",
-                "vs_baseline": round(worst / TARGET_X_REALTIME, 3),
-                "buckets": {str(k): v for k, v in buckets.items()},
-                "p50_segment_latency_ms": round(p50_ms, 2),
-            }
-        )
+def _make_synthetic_video(path: str, seconds: float, fps: float = 10.0) -> None:
+    """480×640 mp4v video + a sidecar WAV with synthesized voiced audio so
+    the full host path (cv2 decode, VAD/diarization, windowing) runs."""
+    import cv2
+
+    h, w = 480, 640
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    for i in range(int(seconds * fps)):
+        frame = np.roll(base, shift=3 * i, axis=1)
+        writer.write(frame)
+    writer.release()
+
+    sr = 16_000
+    t = np.arange(int(seconds * sr)) / sr
+    f0 = 140.0 + 20.0 * np.sin(2 * np.pi * 0.5 * t)
+    voiced = sum(
+        (0.4 / k) * np.sin(2 * np.pi * k * np.cumsum(f0) / sr) for k in (1, 2, 3)
     )
+    envelope = 0.5 * (1.0 + np.sin(2 * np.pi * 0.3 * t))  # speech-like bursts
+    wav = (voiced * envelope + 0.01 * rng.normal(size=t.shape)).astype(np.float32)
+
+    from msa_tpu.host.audio_io import save_wav
+
+    save_wav(os.path.splitext(path)[0] + ".wav", wav, sr)
+
+
+def _e2e_process_video(models, seconds: float = 60.0, batch_size: int = 64) -> float:
+    """End-to-end ``OfflineProcessor.process_video`` ×-realtime on a
+    synthetic video (VERDICT r2 #10): real cv2 decode, diarization, audio
+    windowing, device compute and fetch. Steady-state (second run timed;
+    the first run owns any remaining compiles)."""
+    import dataclasses
+    import tempfile
+
+    from msa_tpu.core.config import SystemConfig
+    from msa_tpu.processors.offline import OfflineProcessor
+
+    cfg = SystemConfig.from_env()
+    # the warmup run below compiles exactly the shapes this video needs;
+    # full-bucket precompile would burn bench budget on unused shapes
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, precompile=False)
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        video = os.path.join(tmp, "bench_video.mp4")
+        _make_synthetic_video(video, seconds)
+        proc = OfflineProcessor(config=cfg, models=models, batch_size=batch_size)
+        proc.process_video(video)  # warmup: compiles + cache priming
+        t0 = time.perf_counter()
+        proc.process_video(video)
+        dt = time.perf_counter() - t0
+    return seconds / dt
+
+
+def main() -> None:
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
+    tiny = bool(os.environ.get("MSA_BENCH_TINY"))  # dev smoke-test only
+    if tiny:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from msa_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    warm = _cache_is_warm()
+    quantize = os.environ.get("MSA_QUANTIZE") or ("int8" if warm else "none")
+    skipped: list = []
+
+    from msa_tpu.pipeline.graph import PipelineModels, SegmentPipeline
+
+    if tiny:
+        models = PipelineModels.tiny(seed=0)
+        batch, iters, warmup_iters = 2, 2, 1
+        buckets = (8, 16)
+    else:
+        models = PipelineModels.initialize(seed=0, quantize=quantize)
+        batch, iters, warmup_iters = 64, 10, 2
+        buckets = TOKEN_BUCKETS
+
+    pipeline = SegmentPipeline(models)
+    headline_tokens, rest = buckets[-1], buckets[:-1][::-1]
+
+    # 1) HEADLINE first — 512-token worst case, batch 64 — then print a
+    #    complete record immediately (round-2 rc=124 postmortem).
+    t_shape0 = time.perf_counter()
+    worst = round(
+        _throughput(
+            pipeline,
+            _make_inputs(models, batch, headline_tokens),
+            batch,
+            iters,
+            warmup_iters,
+        ),
+        2,
+    )
+    shape_cost = time.perf_counter() - t_shape0  # compile+measure of 1 shape
+    _record.update(
+        {
+            "metric": "offline_video_seconds_per_sec_per_chip",
+            "value": worst,
+            "unit": "video-seconds/sec/chip",
+            "vs_baseline": round(worst / TARGET_X_REALTIME, 3),
+            "buckets": {str(headline_tokens): worst},
+            "quantize": quantize,
+            "degraded": quantize == "none" and "MSA_QUANTIZE" not in os.environ,
+        }
+    )
+    _emit()
+
+    # 2) optional stages, cheapest-first, each budget-gated against the
+    #    measured per-shape cost (later shapes reuse in-process Mosaic kernel
+    #    caches, so 0.75× is a conservative estimate).
+    est = max(30.0, 0.75 * shape_cost)
+
+    if _remaining() > est:
+        try:
+            p50, p90 = _p50_latency(pipeline, models, buckets[0])
+            _record["p50_segment_latency_ms"] = round(p50, 2)
+            _record["p90_segment_latency_ms"] = round(p90, 2)
+            _emit()
+        except Exception as e:  # noqa: BLE001 — extras never kill the record
+            skipped.append(f"p50:{type(e).__name__}")
+    else:
+        skipped.append("p50:budget")
+
+    for tokens in rest:
+        if _remaining() > est:
+            try:
+                _record["buckets"][str(tokens)] = round(
+                    _throughput(
+                        pipeline,
+                        _make_inputs(models, batch, tokens),
+                        batch,
+                        iters,
+                        warmup_iters,
+                    ),
+                    2,
+                )
+                _emit()
+            except Exception as e:  # noqa: BLE001
+                skipped.append(f"bucket{tokens}:{type(e).__name__}")
+        else:
+            skipped.append(f"bucket{tokens}:budget")
+
+    # e2e runs the video twice (warmup + timed) plus possible new-shape
+    # compiles for the processor's mesh-wrapped graph — budget two units.
+    if _remaining() > 2 * est:
+        try:
+            x_rt = _e2e_process_video(
+                models,
+                seconds=15.0 if tiny else 60.0,
+                batch_size=batch if tiny else 64,
+            )
+            _record["e2e_process_video_x_realtime"] = round(x_rt, 1)
+            _emit()
+        except Exception as e:  # noqa: BLE001
+            skipped.append(f"e2e:{type(e).__name__}")
+    else:
+        skipped.append("e2e:budget")
+
+    if skipped:
+        _record["skipped"] = skipped
+        _emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        if _headline_printed:
+            # the driver record is already out; don't turn a good round into
+            # a nonzero exit over an optional stage
+            sys.exit(0)
+        raise
