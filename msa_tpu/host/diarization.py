@@ -380,6 +380,7 @@ def make_diarizer(name: str, processing_config, diarization_config=None) -> Diar
                 min_pause_duration=processing_config.min_pause_duration,
                 min_speakers=diarization_config.min_speakers,
                 max_speakers=diarization_config.max_speakers,
+                threshold=getattr(diarization_config, "clustering_threshold", 0.6),
             )
         # no trained checkpoint on disk → deterministic clustering fallback
         # (keeps multi-speaker labeling, unlike the single-speaker VAD)

@@ -84,7 +84,20 @@ class PipelineModels:
         fusion: Optional[FusionMLP] = None,
         fusion_params: Any = None,
         quantize: Optional[str] = None,
+        text_params: Any = None,
+        audio_params: Any = None,
     ) -> "PipelineModels":
+        """``text_params``/``audio_params`` drop in pretrained encoder weights
+        (e.g. from :func:`msa_tpu.models.text.params_from_hf_bert` /
+        :func:`msa_tpu.models.audio.params_from_hf_wav2vec2`). Passing either
+        flips the default serving precision to the PARITY mode — float32
+        matmuls, ``quantize="none"`` — because imported weights carry the
+        drop-in numerics contract (outputs ≤1e-3 of the source model,
+        PARITY.md strategy #3, established by the f32 ≤1e-4 HF-equivalence
+        tests), which int8's ~1% and bf16's ~1e-2 relative error would break.
+        An explicit ``quantize=``/``MSA_QUANTIZE`` still wins and keeps the
+        bf16 serving recipe.
+        """
         from msa_tpu.models.transformer import EncoderConfig
 
         # Production encoder recipe: bfloat16 matmuls on the MXU, the fused
@@ -92,13 +105,25 @@ class PipelineModels:
         # mode for the projection/FFN matmuls (~1.8× MXU rate; median ~1%
         # relative output error vs f32, tests/test_pallas_*). Feature math
         # and the fusion MLP stay f32 (they carry the 1e-3 parity contract);
-        # the encoders are our own models, so precision is a serving choice —
-        # pass quantize="none" (or MSA_QUANTIZE=none) for full bf16.
+        # random-init encoders are our own models, so precision is a serving
+        # choice — pass quantize="none" (or MSA_QUANTIZE=none) for full bf16.
+        import logging
         import os
 
-        quantize = quantize or os.environ.get("MSA_QUANTIZE", "int8")
+        logger = logging.getLogger(__name__)
+        imported = text_params is not None or audio_params is not None
+        explicit = quantize or os.environ.get("MSA_QUANTIZE")
+        quantize = explicit or ("none" if imported else "int8")
+        parity_mode = imported and not explicit
+        logger.info(
+            "encoder serving precision: %s, quantize=%s%s",
+            "float32" if parity_mode else "bfloat16",
+            quantize,
+            " (imported weights → parity mode; pass quantize=/MSA_QUANTIZE "
+            "to keep the bf16/int8 serving recipe)" if parity_mode else "",
+        )
         prod_enc = EncoderConfig(
-            compute_dtype="bfloat16",
+            compute_dtype="float32" if parity_mode else "bfloat16",
             attention_impl="pallas",
             ffn_impl="pallas",
             quantize=quantize,
@@ -117,11 +142,8 @@ class PipelineModels:
         # face path was pretrained MediaPipe + DeepFace; see
         # face_lib.params_from_keras_fer / training.train_landmarks)
 
-        import logging
-
         from msa_tpu.utils.assets import resolve_asset
 
-        logger = logging.getLogger(__name__)
         landmark_params = None
         lm_w = resolve_asset(face_cfg.landmark_weights)
         if lm_w and os.path.exists(lm_w):
@@ -159,9 +181,17 @@ class PipelineModels:
             face_cnn=face_cnn,
             face_cnn_params=face_cnn_params,
             audio=audio,
-            audio_params=audio_lib.init_params(audio, seed + 2, samples=8000),
+            audio_params=(
+                audio_params
+                if audio_params is not None
+                else audio_lib.init_params(audio, seed + 2, samples=8000)
+            ),
             text=text,
-            text_params=text_lib.init_params(text, seed + 3),
+            text_params=(
+                text_params
+                if text_params is not None
+                else text_lib.init_params(text, seed + 3)
+            ),
             fusion=fusion,
             fusion_params=fusion_params,
             tokenizer=WordPieceTokenizer(vocab_size=text_cfg.vocab_size),

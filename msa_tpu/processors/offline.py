@@ -96,7 +96,7 @@ class OfflineProcessor:
             self._pipeline = SegmentPipeline(
                 self.models, self.config, original_frame_hw=frame_hw, mesh=self.mesh
             )
-            if self.config.pipeline.precompile:
+            if self.config.pipeline.should_precompile():
                 # compile every token bucket up front (VERDICT r1 #5): after
                 # this, zero retraces — any batch hits a cached graph
                 with self.timer.stage("precompile"):

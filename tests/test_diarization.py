@@ -170,3 +170,19 @@ def test_neural_diarizer_separates_three_voices_same_pitch_pair(
     # alternation: label sequence repeats with period 3
     assert labels[:3] == labels[3:6], labels
     assert labels[0] == "SPEAKER_00"  # stable first-appearance naming
+
+
+def test_neural_clustering_threshold_plumbed_from_config():
+    """DiarizationConfig.clustering_threshold reaches NeuralDiarizer through
+    the factory (round-2 advisor: the 0.6 merge threshold was hard-coded
+    while min/max_speakers were plumbed)."""
+    from msa_tpu.core.config import DiarizationConfig, ProcessingConfig
+    from msa_tpu.host.diarization import NeuralDiarizer, make_diarizer
+
+    d = make_diarizer(
+        "neural",
+        ProcessingConfig(),
+        DiarizationConfig(clustering_threshold=0.42),
+    )
+    assert isinstance(d, NeuralDiarizer)
+    assert d.threshold == pytest.approx(0.42)

@@ -22,7 +22,7 @@ SAMPLES = 4000
 
 def _cfg(tmp_path):
     return SystemConfig(
-        pipeline=PipelineConfig(segment_samples=SAMPLES, batch_size=4),
+        pipeline=PipelineConfig(segment_samples=SAMPLES, batch_size=4, model_scale="tiny"),
         dirs=DirectoryConfig(
             data_dir=str(tmp_path / "d"),
             checkpoints_dir=str(tmp_path / "c"),

@@ -164,3 +164,57 @@ def test_warmup_precompiles_all_buckets_zero_retraces(pipeline):
         out, _ = pipeline.run(inp)
         assert np.isfinite(np.asarray(out["fused"])).all()
     assert pipeline.cache_size() == n0
+
+
+def test_imported_params_select_parity_mode():
+    """Dropping pretrained params into PipelineModels.initialize must default
+    the encoders to the PARITY serving mode — f32 matmuls, no int8 — because
+    imported weights carry the ≤1e-3 drop-in contract (PARITY.md strategy #3)
+    that int8's ~1% error would break (VERDICT r2 #6). The stand-in param
+    trees are never applied; this is a wiring test."""
+    stand_in = {"stand_in": np.zeros(1, np.float32)}
+    models = PipelineModels.initialize(
+        seed=0, text_params=stand_in, audio_params=stand_in
+    )
+    assert models.text.cfg.encoder.quantize == "none"
+    assert models.text.cfg.encoder.compute_dtype == "float32"
+    assert models.audio.cfg.encoder.quantize == "none"
+    assert models.audio.cfg.encoder.compute_dtype == "float32"
+    assert models.text_params is stand_in and models.audio_params is stand_in
+
+    # an explicit quantize= still wins (serving is then the caller's choice)
+    models = PipelineModels.initialize(
+        seed=0, text_params=stand_in, audio_params=stand_in, quantize="int8"
+    )
+    assert models.text.cfg.encoder.quantize == "int8"
+    assert models.text.cfg.encoder.compute_dtype == "bfloat16"
+
+
+def test_parity_mode_pallas_f32_matches_einsum_end_to_end(tiny_models, inputs):
+    """The parity-mode serving path (f32 + fused Pallas kernels) must stay
+    within the 1e-3 contract of the plain einsum/dense f32 graph end-to-end
+    over the full pipeline — same params, same inputs (VERDICT r2 #6)."""
+    import dataclasses as dc
+
+    def pallas_f32(model_cfg):
+        enc = dc.replace(
+            model_cfg.encoder, attention_impl="pallas", ffn_impl="pallas"
+        )
+        return dc.replace(model_cfg, encoder=enc)
+
+    from msa_tpu.models.audio import AudioEmotionModel
+    from msa_tpu.models.text import TextModel
+
+    models_p = dc.replace(
+        tiny_models,
+        text=TextModel(pallas_f32(tiny_models.text.cfg)),
+        audio=AudioEmotionModel(pallas_f32(tiny_models.audio.cfg)),
+    )
+    ref = SegmentPipeline(tiny_models, original_frame_hw=(480, 640))
+    par = SegmentPipeline(models_p, original_frame_hw=(480, 640))
+    out_ref, _ = ref.run(inputs)
+    out_par, _ = par.run(inputs)
+    for k in ("text783", "audio31", "face27", "fused"):
+        np.testing.assert_allclose(
+            np.asarray(out_ref[k]), np.asarray(out_par[k]), atol=1e-3, err_msg=k
+        )
