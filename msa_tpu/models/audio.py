@@ -55,16 +55,26 @@ class AudioModelConfig:
     # layer after the first to have kernel ∈ {2, 3} and stride 2 (the
     # wav2vec2-base recipe). Identical params and outputs either way.
     extractor_impl: str = "conv"
+    # trained 4-class emotion head asset (training.train_audio_emotion,
+    # prosody-supervised over the default deterministic trunk — the repo
+    # ships one, same pattern as the face checkpoints; resolved via
+    # utils.assets, skipped with a warning when absent/mismatched). Only
+    # applied to default-initialized trunks: an IMPORTED trunk produces
+    # different pooled features, so the shipped head wouldn't be meaningful.
+    head_weights: "str | None" = "checkpoints/audio_emotion_head.msgpack"
     encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
 
     @classmethod
     def tiny(cls) -> "AudioModelConfig":
+        # head_weights=None: the shipped full-size head must not load into
+        # the tiny trunk (shape mismatch)
         return cls(
             conv_channels=(8, 8),
             conv_kernels=(10, 8),
             conv_strides=(5, 4),
             pool_hidden=8,
             positional="sinusoidal",
+            head_weights=None,
             encoder=EncoderConfig.tiny(),
         )
 
@@ -238,6 +248,7 @@ class AudioEmotionModel(nn.Module):
         probs4 = nn.softmax(logits, axis=-1)
         return {
             "hidden": hidden,
+            "pooled": pooled,  # [B, 2·d_model] attentive stats (head input)
             "logits": logits,
             "probs4": probs4,
             # 8-dim contract (D7): duplicated + renormalized

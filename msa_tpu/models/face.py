@@ -45,23 +45,25 @@ class FaceModelConfig:
     # FER-2013 Keras architecture DeepFace ships, so its pretrained weights
     # drop in via params_from_keras_fer.
     cnn_arch: str = "native"
-    # optional weight assets: .npz Keras FER export (emotion CNN, deepface
-    # arch) and flax-msgpack landmark params (training.train_landmarks).
-    # The landmark default points at the repo-shipped synthetic-supervision
-    # checkpoint (resolved via utils.assets; silently skipped if absent) —
-    # the emotion CNN has no in-env training data, so it stays random until
-    # a FER export is configured.
-    emotion_weights: "Optional[str]" = None
+    # weight assets (resolved via utils.assets; degrade to random init if
+    # absent/mismatched): emotion CNN accepts a flax-msgpack checkpoint
+    # (training.train_face_emotion — the repo SHIPS one trained on
+    # parameterized procedural expressions, so face emotion probs carry
+    # semantic signal out of the box, like the reference's pretrained
+    # DeepFace CNN) or a .npz Keras FER export (deepface arch);
+    # landmark_weights is the repo-shipped synthetic-supervision checkpoint.
+    emotion_weights: "Optional[str]" = "checkpoints/face_emotion_cnn.msgpack"
     landmark_weights: "Optional[str]" = "checkpoints/landmark_net.msgpack"
 
     @classmethod
     def tiny(cls) -> "FaceModelConfig":
-        # landmark_weights=None: the shipped full-size checkpoint must not
-        # load into the tiny net (shape mismatch)
+        # weights=None: the shipped full-size checkpoints must not load into
+        # the tiny nets (shape mismatch)
         return cls(
             backbone_channels=(4, 8),
             cnn_channels=(4, 8),
             frame_size=32,
+            emotion_weights=None,
             landmark_weights=None,
         )
 
@@ -287,12 +289,46 @@ def make_emotion_cnn(cfg: FaceModelConfig):
     return FaceEmotionCNN(cfg)
 
 
-def load_emotion_weights(path: str) -> Dict[str, Any]:
-    """Load a Keras FER .npz export → Flax params (deepface arch)."""
+def load_emotion_weights(model, path: str) -> Dict[str, Any]:
+    """Load emotion-CNN weights for ``model``:
+
+    - ``.npz`` — Keras FER export → :func:`params_from_keras_fer`
+      (requires the DeepFace clone architecture);
+    - anything else — flax-msgpack params written by
+      ``training.train_face_emotion`` (native architecture).
+
+    Leaf shapes are validated against the model's init template so a
+    mismatched asset raises HERE (the pipeline degrades to random init with
+    a warning) instead of failing inside the jitted graph trace."""
     import numpy as np
 
-    with np.load(path) as z:
-        return params_from_keras_fer(dict(z.items()))
+    if path.endswith(".npz"):
+        if not isinstance(model, DeepFaceEmotionCNN):
+            raise ValueError(
+                "npz Keras FER exports require cnn_arch='deepface'"
+            )
+        with np.load(path) as z:
+            params = params_from_keras_fer(dict(z.items()))
+    else:
+        from pathlib import Path
+
+        import flax.serialization
+
+        template = init_emotion_params(model, seed=0)
+        params = flax.serialization.from_bytes(
+            template, Path(path).read_bytes()
+        )
+    template = init_emotion_params(model, seed=0)
+    for (kp, want), (_, got) in zip(
+        jax.tree_util.tree_flatten_with_path(template)[0],
+        jax.tree_util.tree_flatten_with_path(params)[0],
+    ):
+        if tuple(np.shape(want)) != tuple(np.shape(got)):
+            raise ValueError(
+                f"emotion weights {path} don't fit the configured CNN at "
+                f"{jax.tree_util.keystr(kp)}: {np.shape(got)} vs {np.shape(want)}"
+            )
+    return jax.device_put(params)
 
 
 def load_landmark_weights(model: "FaceLandmarkNet", path: str) -> Any:

@@ -165,7 +165,7 @@ class PipelineModels:
         emo_w = resolve_asset(face_cfg.emotion_weights)
         if emo_w and os.path.exists(emo_w):
             try:
-                face_cnn_params = face_lib.load_emotion_weights(emo_w)
+                face_cnn_params = face_lib.load_emotion_weights(face_cnn, emo_w)
             except Exception as e:
                 logger.warning(
                     "emotion weights %s don't fit this config (%s); "
@@ -175,17 +175,46 @@ class PipelineModels:
                 )
         if face_cnn_params is None:
             face_cnn_params = face_lib.init_emotion_params(face_cnn, seed + 1)
+        if audio_params is None:
+            audio_params = audio_lib.init_params(audio, seed + 2, samples=8000)
+            head_w = resolve_asset(audio_cfg.head_weights)
+            if head_w and os.path.exists(head_w):
+                # prosody-trained 4-class head over this exact deterministic
+                # trunk (training.train_audio_emotion) — the audio analogue
+                # of the shipped face/landmark checkpoints
+                try:
+                    from msa_tpu.training.train_audio_emotion import load_head
+
+                    head = load_head(head_w)
+                    if "pool" not in head:  # bare linear head format
+                        head = {"emotion_head": head}
+                    audio_params = dict(audio_params)
+                    for sub, tree in head.items():
+                        want = jax.tree_util.tree_map(
+                            lambda x: tuple(x.shape), audio_params[sub]
+                        )
+                        got = jax.tree_util.tree_map(
+                            lambda x: tuple(x.shape), tree
+                        )
+                        if want != got:
+                            raise ValueError(
+                                f"{sub} shapes {got} != model {want}"
+                            )
+                        audio_params[sub] = jax.device_put(tree)
+                except Exception as e:
+                    logger.warning(
+                        "audio emotion head %s doesn't fit this config "
+                        "(%s); random init",
+                        head_w,
+                        e,
+                    )
         return cls(
             landmark=landmark,
             landmark_params=landmark_params,
             face_cnn=face_cnn,
             face_cnn_params=face_cnn_params,
             audio=audio,
-            audio_params=(
-                audio_params
-                if audio_params is not None
-                else audio_lib.init_params(audio, seed + 2, samples=8000)
-            ),
+            audio_params=audio_params,
             text=text,
             text_params=(
                 text_params

@@ -217,27 +217,43 @@ class OfflineProcessor:
 
                 # transcribe first so the token bucket for the batch is known
                 transcripts: List[str] = []
-                encodings = []
-                for seg in batch:
-                    if audio_avail:
-                        clip = waveform[int(seg["start"] * sr) : int(seg["end"] * sr)]
+                if audio_avail:
+                    clips = [
+                        waveform[int(s["start"] * sr) : int(s["end"] * sr)]
+                        for s in batch
+                    ]
+                    if hasattr(self.transcriber, "transcribe_batch"):
+                        # ONE mel batch + ONE decode scan per chunk (the
+                        # jax-whisper path) instead of B sequential decodes
                         try:
                             with self.timer.stage("transcribe"):
-                                text = self.transcriber.transcribe(clip, sr)
+                                transcripts = list(
+                                    self.transcriber.transcribe_batch(clips, sr)
+                                )
                         except Exception as e:
-                            # degradation contract: transcription failure →
-                            # empty transcript → default text analysis
-                            # (reference offline_processor.py:204-208)
-                            logger.warning("transcription failed: %s", e)
-                            text = ""
+                            logger.warning("batched transcription failed: %s", e)
+                            transcripts = [""] * b
                     else:
-                        text = ""
-                    transcripts.append(text)
-                    encodings.append(
-                        self.models.tokenizer.encode(text, token_cap)
-                        if text and text.strip()
-                        else None
-                    )
+                        for clip in clips:
+                            try:
+                                with self.timer.stage("transcribe"):
+                                    transcripts.append(
+                                        self.transcriber.transcribe(clip, sr)
+                                    )
+                            except Exception as e:
+                                # degradation contract: transcription failure →
+                                # empty transcript → default text analysis
+                                # (reference offline_processor.py:204-208)
+                                logger.warning("transcription failed: %s", e)
+                                transcripts.append("")
+                else:
+                    transcripts = [""] * b
+                encodings = [
+                    self.models.tokenizer.encode(text, token_cap)
+                    if text and text.strip()
+                    else None
+                    for text in transcripts
+                ]
                 # sequence-length bucketing: transcripts of 5 s segments are
                 # short; paying the full 512-token attention for them wastes
                 # ~4× text FLOPs. Pads beyond the bucket carry no information

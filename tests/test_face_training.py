@@ -102,7 +102,8 @@ def test_keras_fer_converter_accepts_flat_npz_keys(rng, tmp_path):
         for part, arr in layer.items()
     }
     np.savez(tmp_path / "fer.npz", **flat)
-    params = face_lib.load_emotion_weights(str(tmp_path / "fer.npz"))
+    model = DeepFaceEmotionCNN(FaceModelConfig(cnn_arch="deepface"))
+    params = face_lib.load_emotion_weights(model, str(tmp_path / "fer.npz"))
     ref = params_from_keras_fer(state)
     for layer in ref:
         np.testing.assert_array_equal(params[layer]["kernel"], ref[layer]["kernel"])
