@@ -175,20 +175,35 @@ def make_dataset(
 # --- training -----------------------------------------------------------------
 
 
-def _batched_forward(model, params, waves: np.ndarray, key: str, batch: int = 32):
-    """Frozen-trunk forward, one jitted call per fixed-shape batch."""
+def _batched_forward(
+    model, params, waves: np.ndarray, key: str, batch: int = 32, device: bool = False
+):
+    """Frozen-trunk forward, one jitted call per fixed-shape batch.
+    ``device=True`` keeps the (large) result on the accelerator in bf16 —
+    fetching hundreds of MB of encoder states through the axon tunnel and
+    re-uploading them for training is pure waste."""
     import jax
+    import jax.numpy as jnp
 
-    fwd = jax.jit(lambda p, w: model.apply({"params": p}, w)[key])
+    if device:
+        fwd = jax.jit(
+            lambda p, w: model.apply({"params": p}, w)[key].astype(jnp.bfloat16)
+        )
+    else:
+        fwd = jax.jit(lambda p, w: model.apply({"params": p}, w)[key])
     out = []
     for lo in range(0, len(waves), batch):
         chunk = waves[lo : lo + batch]
         if len(chunk) < batch:  # keep ONE compiled shape
             chunk = np.pad(chunk, [(0, batch - len(chunk)), (0, 0)])
-        got = np.asarray(fwd(params, chunk))[: len(waves) - lo]
-        # cache encoder states compactly (f16 ≈ the bf16 serving precision)
-        out.append(got.astype(np.float16) if key == "hidden" else got)
-    return np.concatenate(out, axis=0)
+        got = fwd(params, chunk)[: len(waves) - lo]
+        if not device:
+            got = np.asarray(got)
+            # cache encoder states compactly (f16 ≈ bf16 serving precision)
+            if key == "hidden":
+                got = got.astype(np.float16)
+        out.append(got)
+    return jnp.concatenate(out, axis=0) if device else np.concatenate(out, axis=0)
 
 
 def pooled_features(model, params, waves: np.ndarray, batch: int = 32) -> np.ndarray:
@@ -261,8 +276,11 @@ def train_pool_head(
 ) -> Dict[str, Any]:
     """Jointly fit the attentive pooling + 4-class head on cached encoder
     states [N, T, d] (trunk frozen — backprop stops at the pooling, so one
-    cached forward pass covers the whole run). Returns {"pool", "emotion_head"}
-    params ready to drop into the model tree."""
+    cached forward pass covers the whole run). The cache lives ON DEVICE
+    (bf16) and minibatches are gathered in-graph — shipping 50 MB of states
+    host→device per step through the axon tunnel made the loop ~50× slower.
+    Returns {"pool", "emotion_head"} params ready to drop into the model
+    tree."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -270,6 +288,13 @@ def train_pool_head(
     optimizer = optax.adamw(lr, weight_decay=1e-4)
     params = jax.tree_util.tree_map(jnp.asarray, init_params)
     opt_state = optimizer.init(params)
+    hidden_dev = (
+        hidden
+        if isinstance(hidden, jax.Array)
+        else jax.device_put(jnp.asarray(hidden, jnp.bfloat16))
+    )
+    labels_dev = jax.device_put(jnp.asarray(labels, jnp.int32))
+    n = len(hidden)
 
     def loss_fn(p, x, y):
         pooled = pool_module.apply({"params": p["pool"]}, x)
@@ -280,16 +305,18 @@ def train_pool_head(
         return ce, acc
 
     @jax.jit
-    def step(p, opt_state, x, y):
+    def step(p, opt_state, key):
+        idx = jax.random.randint(key, (batch,), 0, n)
+        x = hidden_dev[idx].astype(jnp.float32)
+        y = labels_dev[idx]
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, x, y)
         updates, opt_state = optimizer.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss, acc
 
-    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
     for i in range(steps):
-        idx = rng.integers(0, len(hidden), size=batch)
-        x = hidden[idx].astype(np.float32)
-        params, opt_state, loss, acc = step(params, opt_state, x, labels[idx])
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, acc = step(params, opt_state, sub)
         if log_every and (i + 1) % log_every == 0:
             logger.info(
                 "pool+head step %d: ce=%.4f acc=%.3f", i + 1, float(loss), float(acc)
@@ -302,12 +329,14 @@ def evaluate_head(model, params, head, waves, labels, batch: int = 32) -> Dict[s
     head (applied on frozen pooled features) or a {"pool", "emotion_head"}
     tree (applied on frozen encoder states)."""
     if "pool" in head:
+        import jax.numpy as jnp
+
         from msa_tpu.models.transformer import AttentiveStatsPool
 
-        hidden = _batched_forward(model, params, waves, "hidden", batch)
+        hidden = _batched_forward(model, params, waves, "hidden", batch, device=True)
         pool = AttentiveStatsPool(model.cfg.pool_hidden)
         pooled = np.asarray(
-            pool.apply({"params": head["pool"]}, hidden.astype(np.float32))
+            pool.apply({"params": head["pool"]}, hidden.astype(jnp.float32))
         )
         logits = (
             pooled @ head["emotion_head"]["kernel"] + head["emotion_head"]["bias"]
@@ -365,7 +394,7 @@ def train(
     if mode == "pool":
         from msa_tpu.models.transformer import AttentiveStatsPool
 
-        hidden = _batched_forward(model, params, waves, "hidden", batch)
+        hidden = _batched_forward(model, params, waves, "hidden", batch, device=True)
         pool = AttentiveStatsPool(model.cfg.pool_hidden)
         init = {
             "pool": params["pool"],

@@ -196,8 +196,13 @@ def train(
     seed: int = 0,
     params=None,
     log_every: int = 100,
+    expressions: bool = False,
 ) -> Tuple[Any, Dict[str, float]]:
-    """Train FaceLandmarkNet on procedural faces. Returns (params, metrics)."""
+    """Train FaceLandmarkNet on procedural faces. ``expressions=True`` mixes
+    expression-deformed faces (msa_tpu.training.face_synth) into every batch
+    so the landmark targets — and therefore the geometry features derived
+    from them — track brow/eye/mouth movement, not just head pose. Returns
+    (params, metrics)."""
     import jax
     import optax
 
@@ -215,7 +220,15 @@ def train(
     template = make_template(cfg.landmark_count)
     loss = float("nan")
     for i in range(steps):
-        s = render_batch(rng, batch, cfg.frame_size, template, p_negative=0.25)
+        if expressions and i % 2 == 1:
+            from msa_tpu.training import face_synth
+
+            es = face_synth.render_expression_batch(
+                rng, batch, cfg.frame_size, template=template, p_negative=0.25
+            )
+            s = FaceSample(es.frames, es.landmarks, es.present)
+        else:
+            s = render_batch(rng, batch, cfg.frame_size, template, p_negative=0.25)
         params, opt_state, loss, (lm, bce) = step(
             params, opt_state, s.frames, s.landmarks, s.present
         )
@@ -261,10 +274,13 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--lr", type=float, default=3e-3)
+    parser.add_argument("--expressions", action="store_true")
     parser.add_argument("--out", default="checkpoints/landmark_net.msgpack")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
-    params, metrics = train(steps=args.steps, batch=args.batch, lr=args.lr)
+    params, metrics = train(
+        steps=args.steps, batch=args.batch, lr=args.lr, expressions=args.expressions
+    )
     logger.info("eval: %s", metrics)
     from pathlib import Path
 
