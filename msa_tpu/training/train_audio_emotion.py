@@ -304,11 +304,14 @@ def train_pool_head(
         acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
         return ce, acc
 
+    # the state cache is an ARGUMENT, not a closure: a closed-over concrete
+    # array becomes an HLO constant, and a few hundred MB of literals breaks
+    # remote-compile transports (axon rejects the payload with HTTP 413)
     @jax.jit
-    def step(p, opt_state, key):
+    def step(p, opt_state, key, hidden_all, labels_all):
         idx = jax.random.randint(key, (batch,), 0, n)
-        x = hidden_dev[idx].astype(jnp.float32)
-        y = labels_dev[idx]
+        x = hidden_all[idx].astype(jnp.float32)
+        y = labels_all[idx]
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, x, y)
         updates, opt_state = optimizer.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, loss, acc
@@ -316,7 +319,9 @@ def train_pool_head(
     key = jax.random.PRNGKey(seed)
     for i in range(steps):
         key, sub = jax.random.split(key)
-        params, opt_state, loss, acc = step(params, opt_state, sub)
+        params, opt_state, loss, acc = step(
+            params, opt_state, sub, hidden_dev, labels_dev
+        )
         if log_every and (i + 1) % log_every == 0:
             logger.info(
                 "pool+head step %d: ce=%.4f acc=%.3f", i + 1, float(loss), float(acc)
