@@ -47,11 +47,23 @@ class TextModelConfig:
     vocab_size: int = 29794  # neuralmind/bert-base-portuguese-cased
     max_positions: int = 512
     type_vocab_size: int = 2
+    # trained head asset (training.train_text_heads, lexicon-supervised over
+    # the default deterministic trunk — same shipped-checkpoint pattern as
+    # the audio head). Only applied to default-initialized trunks: an
+    # imported trunk produces different [CLS] features.
+    head_weights: "str | None" = "checkpoints/text_heads.msgpack"
     encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
 
     @classmethod
     def tiny(cls) -> "TextModelConfig":
-        return cls(vocab_size=128, max_positions=64, encoder=EncoderConfig.tiny())
+        # head_weights=None: the shipped full-size heads must not load into
+        # the tiny trunk (shape mismatch)
+        return cls(
+            vocab_size=128,
+            max_positions=64,
+            head_weights=None,
+            encoder=EncoderConfig.tiny(),
+        )
 
 
 class BertEmbeddings(nn.Module):

@@ -230,6 +230,37 @@ class PipelineModels:
                         head_w,
                         e,
                     )
+        if text_params is None:
+            text_params = text_lib.init_params(text, seed + 3)
+            th_w = resolve_asset(text_cfg.head_weights)
+            if th_w and os.path.exists(th_w):
+                # lexicon-trained classification heads over this exact
+                # deterministic trunk (training.train_text_heads) — the text
+                # analogue of the shipped audio head
+                try:
+                    from msa_tpu.training.train_text_heads import load_heads
+
+                    heads = load_heads(th_w)
+                    text_params = dict(text_params)
+                    for name, tree in heads.items():
+                        want = jax.tree_util.tree_map(
+                            lambda x: tuple(x.shape), text_params[name]
+                        )
+                        got = jax.tree_util.tree_map(
+                            lambda x: tuple(x.shape), tree
+                        )
+                        if want != got:
+                            raise ValueError(
+                                f"{name} shapes {got} != model {want}"
+                            )
+                        text_params[name] = jax.device_put(tree)
+                except Exception as e:
+                    logger.warning(
+                        "text heads %s don't fit this config (%s); "
+                        "random init",
+                        th_w,
+                        e,
+                    )
         return cls(
             landmark=landmark,
             landmark_params=landmark_params,
@@ -238,11 +269,7 @@ class PipelineModels:
             audio=audio,
             audio_params=audio_params,
             text=text,
-            text_params=(
-                text_params
-                if text_params is not None
-                else text_lib.init_params(text, seed + 3)
-            ),
+            text_params=text_params,
             fusion=fusion,
             fusion_params=fusion_params,
             tokenizer=WordPieceTokenizer(vocab_size=text_cfg.vocab_size),
