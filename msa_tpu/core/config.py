@@ -28,6 +28,9 @@ class ModelConfig:
     face_model: str = "msa_tpu/face-emotion-cnn"
     audio_model: str = "msa_tpu/audio-emotion-encoder"  # wav2vec2-style
     text_model: str = "msa_tpu/bert-trunk"  # BERT-base-style shared trunk
+    # user-trained fusion weights (training/train_fusion.py output path —
+    # reference config.py:35); when absent the SHIPPED trained checkpoint
+    # (msa_tpu/checkpoints/fusion.msgpack) loads instead
     fusion_checkpoint: str = "checkpoints/best_model.msgpack"
     # (face, audio, text) — reference config.py:37
     weights: Tuple[float, float, float] = (0.4, 0.3, 0.3)

@@ -63,7 +63,10 @@ class OfflineProcessor:
             models = (
                 PipelineModels.tiny(seed=self.config.seed)
                 if self.config.pipeline.model_scale == "tiny"
-                else PipelineModels.initialize(seed=self.config.seed)
+                else PipelineModels.initialize(
+                    seed=self.config.seed,
+                    fusion_checkpoint=self.config.model.fusion_checkpoint,
+                )
             )
         self.models = models
         self.mesh = mesh if mesh is not None else mesh_lib.data_parallel_mesh()

@@ -183,7 +183,10 @@ class StreamingProcessor:
             models = (
                 PipelineModels.tiny(seed=self.config.seed)
                 if self.config.pipeline.model_scale == "tiny"
-                else PipelineModels.initialize(seed=self.config.seed)
+                else PipelineModels.initialize(
+                    seed=self.config.seed,
+                    fusion_checkpoint=self.config.model.fusion_checkpoint,
+                )
             )
         self.models = models
         self.frame_source = frame_source
