@@ -238,9 +238,18 @@ def make_transcriber(name: str, language: str = "pt") -> Transcriber:
         if tok is not None and params_path.exists():
             import flax.serialization
 
+            import jax
+
+            from msa_tpu.utils.host_init import to_accelerator
+
             cfg = W.WhisperConfig()
-            params = flax.serialization.from_bytes(
-                W.init_params(cfg), params_path.read_bytes()
+            # restore needs only the param STRUCTURE (eval_shape = zero
+            # compute); ONE transfer pins the leaves on the accelerator
+            template = jax.eval_shape(lambda: W._init_host(cfg, 0))
+            params = to_accelerator(
+                flax.serialization.from_bytes(
+                    template, params_path.read_bytes()
+                )
             )
             return JaxWhisperTranscriber(cfg=cfg, params=params, tokenizer=tok)
         return StubTranscriber()

@@ -256,9 +256,18 @@ class AudioEmotionModel(nn.Module):
         }
 
 
-def init_params(model: AudioEmotionModel, seed: int = 0, samples: int = 8000) -> Any:
+def _init_host(model: AudioEmotionModel, seed: int, samples: int) -> Any:
     wav = jnp.zeros((1, samples), jnp.float32)
     return model.init(jax.random.PRNGKey(seed), wav)["params"]
+
+
+def init_params(model: AudioEmotionModel, seed: int = 0, samples: int = 8000) -> Any:
+    """Init on the host CPU backend, then ONE transfer to the accelerator —
+    eager flax init over the axon tunnel measured 70 s for this trunk
+    (see msa_tpu.utils.host_init)."""
+    from msa_tpu.utils.host_init import host_init
+
+    return host_init(_init_host, model, seed, samples)
 
 
 # --- HF weight import ---------------------------------------------------------

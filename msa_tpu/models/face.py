@@ -302,6 +302,11 @@ def load_emotion_weights(model, path: str) -> Dict[str, Any]:
     a warning) instead of failing inside the jitted graph trace."""
     import numpy as np
 
+    from msa_tpu.utils.host_init import to_accelerator
+
+    # restore/validation need only the param tree STRUCTURE — eval_shape
+    # traces init abstractly (zero compute) instead of the eager forward
+    template = jax.eval_shape(lambda: _init_emotion_host(model, 0))
     if path.endswith(".npz"):
         if not isinstance(model, DeepFaceEmotionCNN):
             raise ValueError(
@@ -314,43 +319,58 @@ def load_emotion_weights(model, path: str) -> Dict[str, Any]:
 
         import flax.serialization
 
-        template = init_emotion_params(model, seed=0)
         params = flax.serialization.from_bytes(
             template, Path(path).read_bytes()
         )
-    template = init_emotion_params(model, seed=0)
     for (kp, want), (_, got) in zip(
         jax.tree_util.tree_flatten_with_path(template)[0],
         jax.tree_util.tree_flatten_with_path(params)[0],
     ):
-        if tuple(np.shape(want)) != tuple(np.shape(got)):
+        if tuple(want.shape) != tuple(np.shape(got)):
             raise ValueError(
                 f"emotion weights {path} don't fit the configured CNN at "
-                f"{jax.tree_util.keystr(kp)}: {np.shape(got)} vs {np.shape(want)}"
+                f"{jax.tree_util.keystr(kp)}: {np.shape(got)} vs "
+                f"{tuple(want.shape)}"
             )
-    return jax.device_put(params)
+    return to_accelerator(params)
 
 
 def load_landmark_weights(model: "FaceLandmarkNet", path: str) -> Any:
     """Load flax-msgpack landmark params (written by
-    training.train_landmarks.main)."""
+    training.train_landmarks.main). Template init + restore run on the host
+    CPU backend; the finished tree ships to the accelerator in ONE transfer
+    (numpy leaves passed to a jitted call re-upload on EVERY invocation —
+    ~300 ms/call through the axon tunnel; see msa_tpu.utils.host_init)."""
     from pathlib import Path
 
     import flax.serialization
 
-    template = init_landmark_params(model, seed=0)
+    from msa_tpu.utils.host_init import to_accelerator
+
+    # restore needs only the param tree STRUCTURE — eval_shape traces init
+    # abstractly (zero compute) instead of paying the eager forward
+    template = jax.eval_shape(lambda: _init_landmark_host(model, 0))
     restored = flax.serialization.from_bytes(template, Path(path).read_bytes())
-    # device_put: msgpack restore yields NUMPY leaves, and numpy args to a
-    # jitted call re-upload host→device on EVERY invocation — measured as a
-    # ~300 ms/call regression through the axon tunnel
-    return jax.device_put(restored)
+    return to_accelerator(restored)
 
 
-def init_landmark_params(model: FaceLandmarkNet, seed: int = 0) -> Any:
+def _init_landmark_host(model: FaceLandmarkNet, seed: int) -> Any:
     s = model.cfg.frame_size
     return model.init(jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 3)))["params"]
 
 
-def init_emotion_params(model, seed: int = 0) -> Any:
+def init_landmark_params(model: FaceLandmarkNet, seed: int = 0) -> Any:
+    from msa_tpu.utils.host_init import host_init
+
+    return host_init(_init_landmark_host, model, seed)
+
+
+def _init_emotion_host(model, seed: int) -> Any:
     s = model.cfg.crop_size
     return model.init(jax.random.PRNGKey(seed), jnp.zeros((1, s, s, 1)))["params"]
+
+
+def init_emotion_params(model, seed: int = 0) -> Any:
+    from msa_tpu.utils.host_init import host_init
+
+    return host_init(_init_emotion_host, model, seed)

@@ -286,7 +286,7 @@ FusionModel = FusionMLP
 # --- functional helpers ----------------------------------------------------
 
 
-def init_params(model: FusionMLP, seed: int = 0) -> Any:
+def _init_host(model: FusionMLP, seed: int) -> Any:
     dummy = (
         jnp.zeros((1, model.face_dim), jnp.float32),
         jnp.zeros((1, model.audio_dim), jnp.float32),
@@ -295,6 +295,14 @@ def init_params(model: FusionMLP, seed: int = 0) -> Any:
     return model.init(
         jax.random.PRNGKey(seed), *dummy, method=FusionMLP.init_all
     )["params"]
+
+
+def init_params(model: FusionMLP, seed: int = 0) -> Any:
+    """Init on the host CPU backend, then ONE transfer to the accelerator
+    (see msa_tpu.utils.host_init)."""
+    from msa_tpu.utils.host_init import host_init
+
+    return host_init(_init_host, model, seed)
 
 
 def get_weights(model: FusionMLP, params: Any) -> Dict[str, float]:
@@ -394,6 +402,11 @@ def load_checkpoint(
         output_dim=meta["output_dim"],
         dropout=meta["dropout"],
     )
-    template = init_params(model, seed)
-    params = flax.serialization.from_state_dict(template, payload["params"])
+    from msa_tpu.utils.host_init import to_accelerator
+
+    # restore needs only the param tree STRUCTURE — eval_shape is free
+    template = jax.eval_shape(lambda: _init_host(model, seed))
+    params = to_accelerator(
+        flax.serialization.from_state_dict(template, payload["params"])
+    )
     return model, params, meta["weights"]

@@ -110,10 +110,18 @@ class SpeakerEmbeddingNet(nn.Module):
         return self.apply({"params": params}, feats)
 
 
-def init_params(model: SpeakerEmbeddingNet, seed: int = 0) -> Any:
+def _init_host(model: SpeakerEmbeddingNet, seed: int) -> Any:
     c = model.cfg
     feats = jnp.zeros((1, c.frames, c.n_mels), jnp.float32)
     return model.init(jax.random.PRNGKey(seed), feats)["params"]
+
+
+def init_params(model: SpeakerEmbeddingNet, seed: int = 0) -> Any:
+    """Init on the host CPU backend, then ONE transfer to the accelerator
+    (see msa_tpu.utils.host_init)."""
+    from msa_tpu.utils.host_init import host_init
+
+    return host_init(_init_host, model, seed)
 
 
 def save_params(params: Any, path: str) -> None:
@@ -126,11 +134,16 @@ def save_params(params: Any, path: str) -> None:
 
 
 def load_params(model: SpeakerEmbeddingNet, path: str) -> Any:
+    # restore needs only the param tree STRUCTURE (eval_shape = zero
+    # compute); ONE device transfer pins the leaves on the accelerator
+    # (numpy leaves re-upload per jitted call; see msa_tpu.utils.host_init)
+    from msa_tpu.utils.host_init import to_accelerator
+
     payload = flax.serialization.msgpack_restore(Path(path).read_bytes())
-    template = init_params(model)
-    restored = flax.serialization.from_state_dict(template, payload["params"])
-    # numpy leaves re-upload per jitted call; pin them on device once
-    return jax.device_put(restored)
+    template = jax.eval_shape(lambda: _init_host(model, 0))
+    return to_accelerator(
+        flax.serialization.from_state_dict(template, payload["params"])
+    )
 
 
 # --- GE2E contrastive objective ------------------------------------------------

@@ -151,11 +151,20 @@ class TextModel(nn.Module):
         }
 
 
-def init_params(model: TextModel, seed: int = 0) -> Any:
+def _init_host(model: TextModel, seed: int) -> Any:
     t = min(8, model.cfg.max_positions)
     ids = jnp.zeros((1, t), jnp.int32)
     mask = jnp.ones((1, t), jnp.int32)
     return model.init(jax.random.PRNGKey(seed), ids, mask)["params"]
+
+
+def init_params(model: TextModel, seed: int = 0) -> Any:
+    """Init on the host CPU backend, then ONE transfer to the accelerator —
+    eager flax init over the axon tunnel measured 40 s for this trunk
+    (see msa_tpu.utils.host_init)."""
+    from msa_tpu.utils.host_init import host_init
+
+    return host_init(_init_host, model, seed)
 
 
 # --- host-side text quality heuristics (string ops stay on host) -------------

@@ -24,6 +24,8 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+from msa_tpu.utils.host_init import execution_platform as _execution_platform
 import numpy as np
 
 
@@ -101,7 +103,7 @@ class SelfAttention(nn.Module):
                 wqkv, bqkv = DenseParams(cfg.d_model, 3 * cfg.d_model, name="qkv")()
                 wout, bout = DenseParams(cfg.d_model, cfg.d_model, name="attn_out")()
                 key_mask = (mask_bias[:, 0, 0, :] >= -0.5).astype(jnp.float32)
-                interpret = jax.devices()[0].platform != "tpu"
+                interpret = _execution_platform() != "tpu"
                 return attention_block(
                     x.astype(dtype),
                     wqkv,
@@ -138,7 +140,7 @@ class SelfAttention(nn.Module):
             )
 
             key_mask = (mask_bias[:, 0, 0, :] >= -0.5).astype(jnp.float32)
-            interpret = jax.devices()[0].platform != "tpu"
+            interpret = _execution_platform() != "tpu"
             if t <= _SINGLE_PASS_MAX_T:
                 # packed-layout kernel: consumes the [b, t, 3, h, dh] QKV
                 # projection output directly (only K is re-laid-out in HBM)
@@ -211,7 +213,7 @@ class EncoderLayer(nn.Module):
 
             w1, b1 = DenseParams(cfg.d_model, cfg.d_ff, name="fc_in")()
             w2, b2 = DenseParams(cfg.d_ff, cfg.d_model, name="fc_out")()
-            interpret = jax.devices()[0].platform != "tpu"
+            interpret = _execution_platform() != "tpu"
             b_, t_, _ = x.shape
             if cfg.quantize == "int8":
                 h = ffn_fused_int8(

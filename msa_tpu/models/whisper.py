@@ -302,11 +302,19 @@ class WhisperModel(nn.Module):
         return tokens, lengths
 
 
-def init_params(cfg: WhisperConfig, seed: int = 0) -> Any:
+def _init_host(cfg: WhisperConfig, seed: int) -> Any:
     model = WhisperModel(cfg)
     mel = jnp.zeros((1, 16, cfg.n_mels), jnp.float32)
     toks = jnp.zeros((1, 4), jnp.int32)
     return model.init(jax.random.PRNGKey(seed), mel, toks)["params"]
+
+
+def init_params(cfg: WhisperConfig, seed: int = 0) -> Any:
+    """Init on the host CPU backend, then ONE transfer to the accelerator
+    (see msa_tpu.utils.host_init)."""
+    from msa_tpu.utils.host_init import host_init
+
+    return host_init(_init_host, cfg, seed)
 
 
 # --- HF weight import ---------------------------------------------------------
