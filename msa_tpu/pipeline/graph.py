@@ -378,7 +378,15 @@ def pad_segment_inputs(
     extra = padded - real
     kwargs = {}
     for f in _BATCH_FIELDS:
-        x = np.asarray(getattr(inp, f))
+        x = getattr(inp, f)
+        if x.shape[0] == padded:
+            # already padded by the caller (e.g. the audio window batch is
+            # padded + device_put EARLY so its upload overlaps frame decode);
+            # np.asarray here would drag a device array back through the
+            # tunnel just to re-upload it
+            kwargs[f] = x
+            continue
+        x = np.asarray(x)
         pad = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
         kwargs[f] = np.pad(x, pad)
     for f in _CARRY_FIELDS:

@@ -87,6 +87,7 @@ class OfflineProcessor:
         # graph instead of triggering a fresh compile
         n_data = self.mesh.shape[mesh_lib.DATA_AXIS] if self.mesh else 1
         self._padded_batch = mesh_lib.pad_to_multiple(self.batch_size, n_data)
+        self._n_data = n_data
         self._pipeline: Optional[SegmentPipeline] = None
         self._frame_hw = (480, 640)
         from msa_tpu.utils.profiling import StageTimer
@@ -104,11 +105,30 @@ class OfflineProcessor:
                 # this, zero retraces — any batch hits a cached graph
                 with self.timer.stage("precompile"):
                     self._pipeline.warmup(
-                        batch_sizes=(self._padded_batch,),
+                        # the current video's (possibly auto-shrunk) static
+                        # batch — set by _process before requesting the
+                        # pipeline, so precompile warms the shapes that will
+                        # actually dispatch
+                        batch_sizes=(
+                            getattr(self, "_warm_batch", None)
+                            or self._padded_batch,
+                        ),
                         token_buckets=self.token_buckets,
                         samples=self.config.pipeline.segment_samples,
                     )
         return self._pipeline
+
+    def _video_padded_batch(self, n_segments: int) -> int:
+        """Static padded batch for ONE video: the next power of two covering
+        its segment count (floor 8), capped at the configured batch. A
+        12-segment 60 s video runs a B=16 graph instead of paying the full
+        B=64 compute + upload (5.3× waste measured on the bench e2e
+        protocol); long videos keep the configured size. One video = one
+        shape, so the jit cache still sees a handful of shapes total."""
+        p = 8
+        while p < n_segments:
+            p *= 2
+        return mesh_lib.pad_to_multiple(min(self._padded_batch, p), self._n_data)
 
     # ------------------------------------------------------------------
 
@@ -184,6 +204,7 @@ class OfflineProcessor:
 
             mid_times = [(s["start"] + s["end"]) / 2 for s in segments]
 
+            self._warm_batch = self._video_padded_batch(len(segments))
             pipeline = self._pipeline_for(frame_hw)
             size = self.models.landmark.cfg.frame_size
             token_cap = min(cfg.text.max_length, self.models.text.cfg.max_positions)
@@ -209,14 +230,14 @@ class OfflineProcessor:
                 return video.frames_at(mid_times[lo:hi])
 
             frames_future = decode_pool.submit(_decode, batch_ranges[0])
+            video_padded = self._video_padded_batch(n)
 
             for bi, lo in enumerate(batch_ranges):
                 batch = segments[lo : lo + self.batch_size]
                 b = len(batch)
-                with self.timer.stage("decode_wait"):
-                    frames = frames_future.result()
-                if bi + 1 < len(batch_ranges):
-                    frames_future = decode_pool.submit(_decode, batch_ranges[bi + 1])
+                # frames are awaited LAST (right before assembly): the cv2
+                # decode thread keeps running while this thread transcribes,
+                # tokenizes and starts the audio upload
 
                 # transcribe first so the token bucket for the batch is known
                 transcripts: List[str] = []
@@ -277,12 +298,21 @@ class OfflineProcessor:
                     ends = np.asarray([int(s["end"] * sr) for s in batch], np.int64)
                     windows = slice_windows(waveform, starts, ends, samples)
                     # ship as int16 PCM (the WAV's native precision): half
-                    # the transfer, converted back on device
-                    inp.audio = np.clip(windows * 32768.0, -32768, 32767).astype(
+                    # the transfer, converted back on device. Padded to the
+                    # video's static batch and device_put HERE — the upload
+                    # (the largest host→device transfer, ~160 KB/segment) runs
+                    # asynchronously under the frame-decode wait below
+                    pcm = np.clip(windows * 32768.0, -32768, 32767).astype(
                         np.int16
                     )
+                    if pcm.shape[0] < video_padded:
+                        pcm = np.pad(
+                            pcm, [(0, video_padded - pcm.shape[0]), (0, 0)]
+                        )
+                    import jax
+
+                    inp.audio = jax.device_put(pcm)
                 for i, seg in enumerate(batch):
-                    inp.frames[i] = preprocess_frame(frames[i], size)
                     if not audio_avail:
                         inp.audio_avail[i] = False
                     text = transcripts[i]
@@ -297,12 +327,19 @@ class OfflineProcessor:
                         # fusion (reference offline path: analyze("") → default →
                         # still fused 3-way, text_analyzer.py:66-68)
                         inp.text_avail[i] = False
+
+                with self.timer.stage("decode_wait"):
+                    frames = frames_future.result()
+                if bi + 1 < len(batch_ranges):
+                    frames_future = decode_pool.submit(_decode, batch_ranges[bi + 1])
+                for i in range(b):
+                    inp.frames[i] = preprocess_frame(frames[i], size)
                 inp.prev_landmarks = prev_landmarks
                 inp.has_prev = has_prev
 
                 n_data = self.mesh.shape[mesh_lib.DATA_AXIS] if self.mesh else 1
                 inp_padded, real = pad_segment_inputs(
-                    inp, n_data, to=self._padded_batch
+                    inp, n_data, to=video_padded
                 )
                 with self.timer.stage("dispatch"):
                     out, _carry = pipeline.run(inp_padded)

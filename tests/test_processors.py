@@ -403,3 +403,33 @@ def test_streaming_precompile_first_window_zero_retraces(tmp_path, tiny_models):
     out = proc.process_segment([frame], audio, "")
     assert out["speaker_id"] is not None or out["fused_emotion"] is None
     assert proc._pipeline.cache_size() == n0, "first live window retraced"
+
+
+def test_video_padded_batch_auto_shrinks(tmp_path, tiny_models):
+    """A short video must run a power-of-two graph ≤ the configured batch
+    (floor 8): a 12-segment video pays B=16 compute + upload, not B=64."""
+    cfg = _tiny_config(tmp_path)
+    proc = OfflineProcessor(config=cfg, models=tiny_models, batch_size=64)
+    assert proc._video_padded_batch(1) == 8
+    assert proc._video_padded_batch(8) == 8
+    assert proc._video_padded_batch(12) == 16
+    assert proc._video_padded_batch(64) == 64
+    assert proc._video_padded_batch(100) == 64  # capped at configured batch
+
+
+def test_pad_segment_inputs_skips_prepadded_device_audio(tiny_models):
+    """pad_segment_inputs must pass through a batch field that the caller
+    already padded + device_put (the early async audio upload) instead of
+    fetching it back through the tunnel to re-pad."""
+    import jax
+
+    from msa_tpu.pipeline.graph import SegmentInputs, pad_segment_inputs
+
+    inp = SegmentInputs.zeros(tiny_models, 3, samples=800, tokens=8)
+    pre = jax.device_put(np.ones((8, 800), np.int16))
+    inp.audio = pre
+    padded, real = pad_segment_inputs(inp, 1, to=8)
+    assert real == 3
+    assert padded.audio is pre  # untouched device array
+    assert padded.frames.shape[0] == 8
+    assert not padded.text_avail[3:].any()
