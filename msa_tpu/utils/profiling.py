@@ -43,6 +43,11 @@ class StageTimer:
             self.totals[name] += dt
             self.counts[name] += 1
 
+    def reset(self) -> None:
+        """Zero the accumulators (e.g. between a warmup and a timed pass)."""
+        self.totals.clear()
+        self.counts.clear()
+
     def summary(self) -> Dict[str, Dict[str, float]]:
         return {
             name: {

@@ -1,0 +1,55 @@
+"""Profile OfflineProcessor.process_video end-to-end on the real chip.
+
+Mirrors bench.py's `_e2e_process_video` protocol (60 s synthetic video,
+warmup pass then timed pass) and prints the StageTimer breakdown so each
+host/device phase is attributable. Run: tools/e2e_profile.py [seconds]
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _make_synthetic_video  # noqa: E402
+
+from msa_tpu.utils.jit_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+from msa_tpu.core.config import SystemConfig  # noqa: E402
+from msa_tpu.pipeline.graph import PipelineModels  # noqa: E402
+from msa_tpu.processors.offline import OfflineProcessor  # noqa: E402
+
+
+def main():
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
+    t0 = time.perf_counter()
+    models = PipelineModels.initialize(seed=0, quantize="int8")
+    print(f"init {time.perf_counter() - t0:.1f}", flush=True)
+
+    cfg = SystemConfig.from_env()
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, precompile=False)
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        video = os.path.join(tmp, "bench_video.mp4")
+        _make_synthetic_video(video, seconds)
+        print("video written", flush=True)
+        proc = OfflineProcessor(config=cfg, models=models, batch_size=64)
+        t0 = time.perf_counter()
+        proc.process_video(video)
+        print(f"warm pass {time.perf_counter() - t0:.1f}", flush=True)
+        proc.timer.reset()
+        t0 = time.perf_counter()
+        proc.process_video(video)
+        dt = time.perf_counter() - t0
+        print(f"timed pass {dt:.2f} x_rt {seconds / dt:.1f}", flush=True)
+        print(json.dumps(proc.timer.summary(), indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
