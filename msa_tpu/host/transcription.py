@@ -95,29 +95,21 @@ class JaxWhisperTranscriber:
         normalized-silence value — zero-padding the normalized log-mel
         instead would make pretrained encoders attend over wrongly-valued
         pad frames (round-1 advisor finding)."""
-        n_samples = 2 * self.cfg.max_source_positions * 160
+        from msa_tpu.models.whisper import window_samples
+
+        n_samples = window_samples(self.cfg)
         x = np.asarray(waveform, np.float32)
         if x.shape[0] < n_samples:
             return np.pad(x, (0, n_samples - x.shape[0]))
         return x[:n_samples]
 
     def _mel_of_padded(self, x):
-        """Log-mel of ONE window-padded waveform (traced; n_fft 400, hop 160,
-        log10 with per-clip dynamic-range clamp) → [frames, n_mels]."""
-        from msa_tpu.ops.audio_features import mel_filterbank, power_spectrogram
+        """Log-mel of ONE window-padded waveform → [frames, n_mels]; the
+        math lives in models.whisper.log_mel_window so the ASR training
+        recipe consumes the identical features."""
+        from msa_tpu.models.whisper import log_mel_window
 
-        hop = 160
-        t_max = 2 * self.cfg.max_source_positions
-        sr = 16_000  # whisper mel convention (inputs are resampled upstream)
-        power = power_spectrogram(x, n_fft=400, hop=hop)  # [freq, frames]
-        fb = self._jnp.asarray(
-            mel_filterbank(201, self.cfg.n_mels, sr, 0.0, sr / 2)
-        )
-        mel = self._jnp.einsum("ft,fm->mt", power, fb)[:, :t_max]
-        log_mel = self._jnp.log10(self._jnp.maximum(mel, 1e-10))
-        log_mel = self._jnp.maximum(log_mel, log_mel.max() - 8.0)
-        log_mel = (log_mel + 4.0) / 4.0
-        return log_mel.T  # [frames, n_mels]
+        return log_mel_window(x, self.cfg)
 
     def _log_mel(self, waveform, sample_rate):
         return np.asarray(self._mel_batch(self._pad_waveform(waveform)[None]))
@@ -211,14 +203,21 @@ def _auto_tokenizer(cfg):
     return SyllableTokenizer()
 
 
-def make_transcriber(name: str, language: str = "pt") -> Transcriber:
+def make_transcriber(name: str, language: str = "pt", scale: str = "full") -> Transcriber:
     """Build a Transcriber by config name (TranscriptionConfig.model).
 
+    ``scale`` is the pipeline's model scale: ``auto`` resolves the SHIPPED
+    ASR only for full-scale pipelines — tiny scales are test/dev fixtures
+    where the stub (the reference's effective behavior) keeps construction
+    free, the same full-scale-only default pattern as precompile.
+
     - ``stub``: always "" (the reference's effective behavior, D3)
-    - ``auto``: jax-whisper IFF pretrained weights AND tokenizer assets are
-      both present under :func:`whisper_assets_dir`, else stub — the
-      production default: real transcription when deployable, reference
-      behavior otherwise
+    - ``auto``: full pretrained assets under :func:`whisper_assets_dir`
+      (weights + BPE tokenizer) win; else the SHIPPED in-repo ASR
+      (``msa_tpu/checkpoints/whisper_asr`` — trained on phonetic synthetic
+      speech over the text heads' emotion lexicon,
+      training.train_whisper_asr); else stub (the reference's effective
+      behavior). The production default: real transcription out of the box.
     - ``jax-whisper``: always-on TPU-native whisper (random-init weights
       when no assets; text still flows, useful for tests/integration)
     - anything else: HF pipeline adapter (needs downloadable weights)
@@ -252,6 +251,24 @@ def make_transcriber(name: str, language: str = "pt") -> Transcriber:
                 )
             )
             return JaxWhisperTranscriber(cfg=cfg, params=params, tokenizer=tok)
+        # shipped in-repo ASR (trained on phonetic synthetic speech) —
+        # full-scale pipelines only (tiny = test/dev fixtures, stub is free)
+        from msa_tpu.utils.assets import resolve_asset
+
+        shipped = (
+            resolve_asset("checkpoints/whisper_asr/config.json", warn=False)
+            if scale == "full"
+            else None
+        )
+        if shipped and Path(shipped).exists():
+            from msa_tpu.training.train_whisper_asr import load_asr
+
+            loaded = load_asr(str(Path(shipped).parent))
+            if loaded is not None:
+                cfg, params = loaded
+                return JaxWhisperTranscriber(
+                    cfg=cfg, params=params, tokenizer=_auto_tokenizer(cfg)
+                )
         return StubTranscriber()
     if name in ("jax-whisper", "whisper-jax"):
         return JaxWhisperTranscriber()

@@ -64,6 +64,30 @@ class WhisperConfig:
         )
 
 
+def window_samples(cfg: WhisperConfig) -> int:
+    """Static waveform window: mel hop 160 × 2 frames per encoder position."""
+    return 2 * cfg.max_source_positions * 160
+
+
+def log_mel_window(x: jnp.ndarray, cfg: WhisperConfig) -> jnp.ndarray:
+    """Log-mel of ONE window-padded waveform [window_samples] → [frames,
+    n_mels] (traced; n_fft 400, hop 160, log10 with Whisper's per-clip
+    dynamic-range clamp and (x+4)/4 scaling). Shared by the transcriber
+    (host.transcription.JaxWhisperTranscriber) and the ASR training recipe
+    (training.train_whisper_asr) so train/deploy features are identical."""
+    from msa_tpu.ops.audio_features import mel_filterbank, power_spectrogram
+
+    t_max = 2 * cfg.max_source_positions
+    sr = 16_000  # whisper mel convention (inputs are resampled upstream)
+    power = power_spectrogram(x, n_fft=400, hop=160)  # [freq, frames]
+    fb = jnp.asarray(mel_filterbank(201, cfg.n_mels, sr, 0.0, sr / 2))
+    mel = jnp.einsum("ft,fm->mt", power, fb)[:, :t_max]
+    log_mel = jnp.log10(jnp.maximum(mel, 1e-10))
+    log_mel = jnp.maximum(log_mel, log_mel.max() - 8.0)
+    log_mel = (log_mel + 4.0) / 4.0
+    return log_mel.T  # [frames, n_mels]
+
+
 def _sinusoids(length: int, channels: int) -> np.ndarray:
     """Whisper's sinusoidal position table (log-scale timescales)."""
     log_timescale = np.log(10000.0) / (channels // 2 - 1)

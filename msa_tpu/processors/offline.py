@@ -76,7 +76,9 @@ class OfflineProcessor:
             self.config.diarization,
         )
         self.transcriber = transcriber or make_transcriber(
-            self.config.transcription.model, self.config.transcription.language
+            self.config.transcription.model,
+            self.config.transcription.language,
+            scale=self.config.pipeline.model_scale,
         )
         self.batch_size = batch_size or self.config.pipeline.batch_size
         # static token-length buckets — each compiles once, shortest

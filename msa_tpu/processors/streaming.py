@@ -484,6 +484,7 @@ class StreamingProcessor:
                 self.transcriber = make_transcriber(
                     self.config.transcription.model,
                     self.config.transcription.language,
+                    scale=self.config.pipeline.model_scale,
                 )
             waveform = pcm16_bytes_to_float(audio_bytes)
             return self.transcriber.transcribe(

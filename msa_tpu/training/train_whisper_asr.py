@@ -1,0 +1,379 @@
+"""ASR training on phonetic synthetic speech — ships a working transcriber.
+
+Closes the last stubbed subsystem in the default pipeline: the reference
+intended ``openai/whisper-medium`` for transcription (reference
+``src/config/config.py:75-79``, broken in practice — defect D3), but no
+pretrained ASR weights are downloadable in this environment. Following the
+face/audio/text/fusion pattern (procedural supervision, shipped checkpoint),
+this recipe trains the TPU-native Whisper model
+(:mod:`msa_tpu.models.whisper`) to transcribe procedurally synthesized
+spoken Portuguese (:mod:`msa_tpu.training.speech_synth`):
+
+- **vocabulary**: the emotion lexicon the text heads are trained on
+  (:data:`msa_tpu.training.text_synth.EMOTION_WORDS`) plus sentence fillers
+  — so transcripts produced by the shipped ASR are exactly the inputs the
+  shipped text-emotion heads understand, making the full default chain
+  (audio → ASR → text heads → fusion) semantically live end to end;
+- **speaker/prosody invariance**: every clip draws a fresh voice identity
+  (:func:`msa_tpu.models.speaker.random_voice`) and half the clips carry an
+  emotion-class prosody (:data:`msa_tpu.training.train_audio_emotion.
+  CLASS_PROSODY`), so the transcriber must key on phonetics;
+- **targets**: byte-level token ids from the SAME deterministic tokenizer
+  the deployed transcriber resolves for this vocab size
+  (``ByteLevelBPE(vocab_size=512, byte_offset=256)`` —
+  host.transcription._auto_tokenizer), start/eos ids 2/1;
+- **features**: the SAME jitted log-mel as deployment
+  (:func:`msa_tpu.models.whisper.log_mel_window`);
+- **generalization metrics**: eval voices are never seen in training; a
+  novel-word set (outside the training vocabulary entirely) measures
+  phonetic compositionality (byte-level decoding over formant transitions).
+
+CLI: ``python -m msa_tpu.training.train_whisper_asr`` writes
+``msa_tpu/checkpoints/whisper_asr/{params.msgpack,config.json}``; the
+default ``auto`` transcriber resolves these shipped assets
+(host.transcription.make_transcriber) so a fresh clone transcribes out of
+the box.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from msa_tpu.models.speaker import random_voice
+from msa_tpu.training.speech_synth import synth_utterance
+from msa_tpu.training.text_synth import EMOTION_WORDS
+from msa_tpu.training.train_audio_emotion import CLASS_PROSODY, _jitter
+
+logger = logging.getLogger(__name__)
+
+SR = 16_000
+
+# sentence fillers: the words text_synth templates put around lexicon words
+FILLERS: Tuple[str, ...] = (
+    "estou", "me", "sinto", "muito", "hoje", "bem", "tão", "um", "pouco",
+    "dia", "ele", "ela", "foi", "que", "isso",
+)
+TRAIN_WORDS: Tuple[str, ...] = tuple(
+    w for pool in EMOTION_WORDS for w in pool
+) + FILLERS
+# novel words (not in TRAIN_WORDS): measures phonetic generalization
+NOVEL_WORDS: Tuple[str, ...] = (
+    "janela", "cadeira", "caminho", "amarelo", "segundo", "palavra",
+    "futuro", "cidade", "momento", "pessoa",
+)
+
+
+def asr_config():
+    """The shipped transcriber architecture: a 2+2-layer, d=192 Whisper over
+    the pipeline's 5 s / 16 kHz segment window (max_source 250 encoder
+    positions = 500 mel frames = 80 000 samples — the same static window the
+    segment pipeline uses, so `_pad_waveform` costs nothing extra)."""
+    from msa_tpu.models.whisper import WhisperConfig
+
+    return WhisperConfig(
+        n_mels=80,
+        d_model=192,
+        encoder_layers=2,
+        decoder_layers=2,
+        num_heads=4,
+        d_ff=768,
+        vocab_size=512,
+        max_source_positions=250,
+        max_target_positions=64,
+        eos_token_id=1,
+        decoder_start_token_id=2,
+    )
+
+
+def make_tokenizer():
+    """The byte-direct tokenizer `_auto_tokenizer` resolves for vocab 512."""
+    from msa_tpu.host.bpe import ByteLevelBPE
+
+    return ByteLevelBPE(vocab_size=512, byte_offset=256)
+
+
+def sample_text(rng: np.random.Generator, pool: Sequence[str], max_bytes: int = 58) -> str:
+    n = int(rng.integers(2, 5))
+    words = [str(pool[int(rng.integers(0, len(pool)))]) for _ in range(n)]
+    text = " ".join(words)
+    while len(text.encode("utf-8")) > max_bytes and len(words) > 1:
+        words.pop()
+        text = " ".join(words)
+    return text
+
+
+def make_clip(
+    rng: np.random.Generator,
+    pool: Sequence[str],
+    window: int,
+    sample_rate: int = SR,
+) -> Tuple[np.ndarray, str]:
+    """One training clip: spoken words at a random offset in the static
+    window, under a random voice and (half the time) an emotion prosody."""
+    text = sample_text(rng, pool)
+    voice = random_voice(rng)
+    pros = _jitter(rng, CLASS_PROSODY[int(rng.integers(0, len(CLASS_PROSODY)))]) if rng.uniform() < 0.5 else None
+    wav = synth_utterance(rng, voice, text, sample_rate, prosody=pros)
+    out = np.zeros(window, np.float32)
+    free = max(0, window - wav.shape[0])
+    off = int(rng.integers(0, free + 1))
+    out[off : off + min(wav.shape[0], window)] = wav[: window - off]
+    out += rng.uniform(0.001, 0.004) * rng.standard_normal(window).astype(np.float32)
+    return out, text
+
+
+def encode_targets(tokenizer, texts: Sequence[str], cfg) -> Tuple[np.ndarray, np.ndarray]:
+    """[start] + bytes + [eos], eos-padded → (tokens [B, T], n_real [B])
+    where n_real counts the supervised TARGET positions (bytes + eos)."""
+    t_max = cfg.max_target_positions
+    toks = np.full((len(texts), t_max), cfg.eos_token_id, np.int32)
+    n_real = np.zeros(len(texts), np.int32)
+    for i, text in enumerate(texts):
+        ids = tokenizer.encode(text)[: t_max - 2]
+        row = [cfg.decoder_start_token_id] + list(ids) + [cfg.eos_token_id]
+        toks[i, : len(row)] = row
+        n_real[i] = len(ids) + 1
+    return toks, n_real
+
+
+def build_dataset(
+    rng: np.random.Generator,
+    n_clips: int,
+    pool: Sequence[str],
+    cfg,
+    mel_batch: int = 64,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pre-generate (mels f16 [N, frames, n_mels], tokens, n_real). Host
+    synthesis is the slow part (~0.15 s/clip on 1 vCPU); mels run jitted in
+    batches on the default device."""
+    import jax
+    import jax.numpy as jnp
+
+    from msa_tpu.models.whisper import log_mel_window, window_samples
+
+    window = window_samples(cfg)
+    tokenizer = make_tokenizer()
+    mel_fn = jax.jit(jax.vmap(lambda x: log_mel_window(x, cfg)))
+    mels: List[np.ndarray] = []
+    texts: List[str] = []
+    for lo in range(0, n_clips, mel_batch):
+        m = min(mel_batch, n_clips - lo)
+        waves = np.empty((m, window), np.float32)
+        for j in range(m):
+            waves[j], text = make_clip(rng, pool, window)
+            texts.append(text)
+        # pad the last chunk so exactly one mel shape compiles
+        if m < mel_batch:
+            waves = np.pad(waves, [(0, mel_batch - m), (0, 0)])
+        mels.append(np.asarray(mel_fn(jnp.asarray(waves)), np.float16)[:m])
+        if (lo // mel_batch) % 8 == 0:
+            logger.info("dataset: %d/%d clips", lo + m, n_clips)
+    tokens, n_real = encode_targets(tokenizer, texts, cfg)
+    return np.concatenate(mels), tokens, n_real
+
+
+def word_error_rate(ref: Sequence[str], hyp: Sequence[str]) -> float:
+    """Word-level edit distance / reference length."""
+    d = np.zeros((len(ref) + 1, len(hyp) + 1), np.int32)
+    d[:, 0] = np.arange(len(ref) + 1)
+    d[0, :] = np.arange(len(hyp) + 1)
+    for i in range(1, len(ref) + 1):
+        for j in range(1, len(hyp) + 1):
+            sub = d[i - 1, j - 1] + (ref[i - 1] != hyp[j - 1])
+            d[i, j] = min(sub, d[i - 1, j] + 1, d[i, j - 1] + 1)
+    return float(d[-1, -1]) / max(1, len(ref))
+
+
+def evaluate(
+    model, params, cfg, rng: np.random.Generator, pool: Sequence[str], n: int = 48
+) -> dict:
+    """Greedy-decode `n` fresh clips (unseen voices): corpus WER + exact rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from msa_tpu.models import whisper as W
+    from msa_tpu.models.whisper import log_mel_window, window_samples
+
+    tokenizer = make_tokenizer()
+    window = window_samples(cfg)
+    mel_fn = jax.jit(jax.vmap(lambda x: log_mel_window(x, cfg)))
+    decode = jax.jit(
+        lambda p, mel: model.apply(
+            {"params": p}, mel, cfg.max_target_positions, method=W.WhisperModel.greedy_decode
+        )
+    )
+    errs, exact, total = [], 0, 0
+    bs = 16
+    for lo in range(0, n, bs):
+        m = min(bs, n - lo)
+        waves = np.empty((bs, window), np.float32)
+        texts = []
+        for j in range(m):
+            waves[j], t = make_clip(rng, pool, window)
+            texts.append(t)
+        for j in range(m, bs):
+            waves[j] = waves[0]
+        mel = mel_fn(jnp.asarray(waves))
+        tokens, lengths = jax.device_get(decode(params, mel))
+        for j in range(m):
+            ids = [int(t) for t in tokens[j][: int(lengths[j])]]
+            hyp = tokenizer.decode(ids).split()
+            ref = texts[j].split()
+            errs.append(word_error_rate(ref, hyp))
+            exact += hyp == ref
+            total += 1
+    return {"wer": float(np.mean(errs)), "exact": exact / total, "n": total}
+
+
+def train(
+    steps: int = 3000,
+    batch: int = 32,
+    n_clips: int = 2560,
+    lr: float = 3e-4,
+    seed: int = 0,
+    log_every: int = 200,
+    cfg=None,
+):
+    """AdamW + cosine decay over a pre-generated clip pool. Returns
+    (model, params, history)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from msa_tpu.models import whisper as W
+
+    cfg = cfg or asr_config()
+    model = W.WhisperModel(cfg)
+    params = W.init_params(cfg, seed)
+
+    rng = np.random.default_rng(seed)
+    mels, tokens, n_real = build_dataset(rng, n_clips, TRAIN_WORDS, cfg)
+    logger.info("dataset ready: %s mels, %s tokens", mels.shape, tokens.shape)
+
+    warmup = min(100, max(1, steps // 10))
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(
+            optax.warmup_cosine_decay_schedule(0.0, lr, warmup, steps, lr * 0.05),
+            weight_decay=1e-4,
+        ),
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, mel, toks, nr):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, mel, toks[:, :-1])
+            targets = toks[:, 1:]
+            w = (jnp.arange(targets.shape[1])[None] < nr[:, None]).astype(jnp.float32)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+            return (ce * w).sum() / w.sum()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    history = {"loss": []}
+    n = mels.shape[0]
+    for i in range(steps):
+        idx = rng.integers(0, n, size=batch)
+        params, opt_state, loss = step_fn(
+            params,
+            opt_state,
+            jnp.asarray(mels[idx], jnp.float32),
+            jnp.asarray(tokens[idx]),
+            jnp.asarray(n_real[idx]),
+        )
+        history["loss"].append(float(loss))
+        if log_every and (i + 1) % log_every == 0:
+            logger.info(
+                "step %d/%d loss=%.4f", i + 1, steps, float(np.mean(history["loss"][-50:]))
+            )
+    return model, params, history
+
+
+def save_asr(params, cfg, out_dir: str) -> None:
+    import flax.serialization
+    import jax
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "config.json").write_text(json.dumps(dataclasses.asdict(cfg), indent=1))
+    (out / "params.msgpack").write_bytes(
+        flax.serialization.to_bytes(jax.device_get(params))
+    )
+
+
+def load_asr(asset_dir: str):
+    """(cfg, params) from a shipped/trained ASR directory, or None."""
+    import flax.serialization
+    import jax
+
+    from msa_tpu.models import whisper as W
+    from msa_tpu.utils.host_init import to_accelerator
+
+    d = Path(asset_dir)
+    cfg_path, params_path = d / "config.json", d / "params.msgpack"
+    if not (cfg_path.exists() and params_path.exists()):
+        return None
+    cfg = W.WhisperConfig(**json.loads(cfg_path.read_text()))
+    template = jax.eval_shape(lambda: W._init_host(cfg, 0))
+    params = to_accelerator(
+        flax.serialization.from_bytes(template, params_path.read_bytes())
+    )
+    return cfg, params
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Treina o transcritor Whisper-JAX em fala sintética fonética"
+    )
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--clips", type=int, default=2560)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", default="msa_tpu/checkpoints/whisper_asr")
+    parser.add_argument("--eval-only", action="store_true")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    if args.eval_only:
+        loaded = load_asr(args.out)
+        if loaded is None:
+            logger.error("no ASR assets under %s", args.out)
+            return 1
+        cfg, params = loaded
+        from msa_tpu.models import whisper as W
+
+        model = W.WhisperModel(cfg)
+    else:
+        model, params, history = train(
+            steps=args.steps,
+            batch=args.batch,
+            n_clips=args.clips,
+            lr=args.lr,
+            seed=args.seed,
+        )
+        cfg = model.cfg
+        save_asr(params, cfg, args.out)
+        logger.info("saved ASR assets to %s", args.out)
+
+    eval_rng = np.random.default_rng(args.seed + 10_000)
+    seen = evaluate(model, params, cfg, eval_rng, TRAIN_WORDS)
+    novel = evaluate(model, params, cfg, eval_rng, NOVEL_WORDS)
+    logger.info("eval (train vocab, unseen voices): %s", seen)
+    logger.info("eval (novel words): %s", novel)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
