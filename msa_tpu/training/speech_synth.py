@@ -398,3 +398,50 @@ def synth_utterance(
     )
     peak = np.max(np.abs(sig)) + 1e-8
     return (0.3 * energy * sig / peak).astype(np.float32)
+
+
+# --- spoken sentences ----------------------------------------------------------
+
+# sentence templates built ONLY from the ASR training vocabulary
+# (train_whisper_asr.FILLERS + the emotion lexicon), so the shipped
+# transcriber is maximally reliable on synth_av meeting speech
+SPOKEN_TEMPLATES: Tuple[str, ...] = (
+    "estou muito {w} hoje",
+    "me sinto {w}",
+    "que dia {w}",
+    "ele foi tão {w}",
+    "ela foi tão {w}",
+    "isso foi {w}",
+    "estou um pouco {w}",
+    "hoje me sinto {w}",
+)
+
+
+def spoken_sentence(rng: np.random.Generator, word: str) -> str:
+    """One template sentence around an emotion word."""
+    return str(rng.choice(SPOKEN_TEMPLATES)).format(w=word)
+
+
+def synth_spoken_clip(
+    rng: np.random.Generator,
+    voice: VoiceSpec,
+    texts: Sequence[str],
+    seconds: float,
+    sample_rate: int = SR,
+    prosody=None,
+) -> np.ndarray:
+    """Fill a fixed window with spoken sentences (cycled, separated by
+    0.2–0.4 s pauses) — segment-shaped speech for synth_av meetings and the
+    mixed-speech audio-emotion recipe."""
+    n = int(seconds * sample_rate)
+    out = np.zeros(n, np.float32)
+    pos = int(rng.integers(0, int(0.15 * sample_rate) + 1))
+    i = 0
+    while pos < n - int(0.3 * sample_rate):
+        text = texts[i % len(texts)]
+        wav = synth_utterance(rng, voice, text, sample_rate, prosody=prosody)
+        take = min(len(wav), n - pos)
+        out[pos : pos + take] = wav[:take]
+        pos += take + int(rng.uniform(0.2, 0.4) * sample_rate)
+        i += 1
+    return out

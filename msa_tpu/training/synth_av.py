@@ -8,8 +8,12 @@ here, so this module fabricates meeting directories (``*.mp4`` + sidecar
 - each 5 s segment draws one of the four emotions both modalities can
   express (neutral/angry/happy/sad): the video shows a procedurally
   rendered face with the matching expression
-  (:mod:`msa_tpu.training.face_synth`) and the audio carries the matching
-  prosody (:mod:`msa_tpu.training.train_audio_emotion`);
+  (:mod:`msa_tpu.training.face_synth`) and the audio SPEAKS sentences
+  around an emotion-lexicon word of the class
+  (:mod:`msa_tpu.training.speech_synth`) under the matching prosody
+  (:mod:`msa_tpu.training.train_audio_emotion`) — so the shipped ASR
+  transcribes words the shipped text heads classify, and the TEXT branch
+  participates in fusion training;
 - a fraction of segments use face-only expressions (fear/disgust/surprise)
   over neutral prosody, so pseudo-labels also cover modality disagreement;
 - short silences separate segments (the VAD diarizer needs pauses) and the
@@ -31,11 +35,9 @@ import numpy as np
 
 from msa_tpu.models.speaker import random_voice
 from msa_tpu.training import face_synth
-from msa_tpu.training.train_audio_emotion import (
-    CLASS_PROSODY,
-    _jitter,
-    synth_prosody_voice,
-)
+from msa_tpu.training.speech_synth import spoken_sentence, synth_spoken_clip
+from msa_tpu.training.text_synth import EMOTION_WORDS
+from msa_tpu.training.train_audio_emotion import CLASS_PROSODY, _jitter
 
 logger = logging.getLogger(__name__)
 
@@ -48,6 +50,13 @@ _SHARED = (
     ("sad", 3),
 )
 _FACE_ONLY = ("fear", "disgust", "surprise")
+# face class name → canonical emotion index (core/emotions.py order:
+# neutral, happy, sad, angry, fearful, disgusted, surprised) — selects the
+# emotion-lexicon pool the segment's SPOKEN sentence draws from
+_CANONICAL_IDX = {
+    "neutral": 0, "happy": 1, "sad": 2, "angry": 3,
+    "fear": 4, "disgust": 5, "surprise": 6,
+}
 
 
 def _render_single(rng: np.random.Generator, e, size: int) -> np.ndarray:
@@ -119,10 +128,22 @@ def make_meeting(
             writer.write(
                 np.full((h, w, 3), int(255 * 0.2), np.uint8)
             )
-        # audio: matching prosody, alternating speaker identity
+        # audio: SPOKEN sentences around a lexicon word of the segment's
+        # emotion class, under the matching prosody and the alternating
+        # speaker identity — so the default pipeline's full chain goes live:
+        # diarizer (voice identity), ASR (words), text heads (lexicon),
+        # audio emotion (prosody), face emotion (expression)
         pros = _jitter(rng, CLASS_PROSODY[pros_idx])
+        pool = EMOTION_WORDS[_CANONICAL_IDX[face_class]]
+        texts = [
+            spoken_sentence(rng, str(pool[int(rng.integers(0, len(pool)))]))
+            for _ in range(2)
+        ]
         wav_parts.append(
-            synth_prosody_voice(rng, voices[seg % 2], pros, segment_seconds, SR)
+            0.6
+            * synth_spoken_clip(
+                rng, voices[seg % 2], texts, segment_seconds, SR, prosody=pros
+            )
         )
         wav_parts.append(np.zeros(int(pause_seconds * SR), np.float32))
     writer.release()

@@ -159,15 +159,39 @@ def synth_prosody_voice(
 
 
 def make_dataset(
-    rng: np.random.Generator, n: int, seconds: float = 5.0, samples: int = 80_000
+    rng: np.random.Generator,
+    n: int,
+    seconds: float = 5.0,
+    samples: int = 80_000,
+    speech_fraction: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """n prosody-labeled clips, fresh voice identity per clip.
-    Returns (waves [n, samples] f32, labels [n] int64 in IEMOCAP4 order)."""
+    Returns (waves [n, samples] f32, labels [n] int64 in IEMOCAP4 order).
+
+    ``speech_fraction`` of the clips are SPOKEN sentences (phonetic
+    word synthesis, training.speech_synth) carrying the class prosody —
+    the distribution synth_av meetings produce — and the rest are the
+    original sustained prosody voices; words are drawn class-independently
+    so prosody stays the only class signal."""
+    from msa_tpu.training.speech_synth import spoken_sentence, synth_spoken_clip
+    from msa_tpu.training.text_synth import EMOTION_WORDS
+
+    all_words = [w for pool in EMOTION_WORDS for w in pool]
     waves = np.zeros((n, samples), np.float32)
     labels = rng.integers(0, 4, size=n).astype(np.int64)
     for i in range(n):
         pros = _jitter(rng, CLASS_PROSODY[int(labels[i])])
-        w = synth_prosody_voice(rng, random_voice(rng), pros, seconds)
+        voice = random_voice(rng)
+        if rng.uniform() < speech_fraction:
+            texts = [
+                spoken_sentence(rng, all_words[int(rng.integers(0, len(all_words)))])
+                for _ in range(2)
+            ]
+            # 0.6×: synth_utterance peak-normalizes to 0.3·energy vs the
+            # prosody voices' 0.18·energy — keep the energy cue comparable
+            w = 0.6 * synth_spoken_clip(rng, voice, texts, seconds, prosody=pros)
+        else:
+            w = synth_prosody_voice(rng, voice, pros, seconds)
         waves[i, : min(len(w), samples)] = w[:samples]
     return waves, labels
 
@@ -375,6 +399,7 @@ def train(
     samples: int = 80_000,
     log_every: int = 0,
     mode: str = "pool",
+    speech_fraction: float = 0.0,
 ) -> Tuple[Dict[str, Any], Dict[str, float]]:
     """Full recipe: synth dataset → frozen-trunk forward → fit → held-out
     eval. ``mode="pool"`` (default) trains attentive pooling + head jointly
@@ -393,8 +418,10 @@ def train(
         params = audio_lib.init_params(model, seed + 2, samples=8000)
 
     rng = np.random.default_rng(seed + 100)
-    waves, labels = make_dataset(rng, n_train, seconds, samples)
-    ew, el = make_dataset(np.random.default_rng(seed + 200), n_eval, seconds, samples)
+    waves, labels = make_dataset(rng, n_train, seconds, samples, speech_fraction)
+    ew, el = make_dataset(
+        np.random.default_rng(seed + 200), n_eval, seconds, samples, speech_fraction
+    )
 
     if mode == "pool":
         from msa_tpu.models.transformer import AttentiveStatsPool
@@ -453,6 +480,9 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--out", default="checkpoints/audio_emotion_head.msgpack")
+    # mixed-distribution recipe: half SPOKEN sentences (what synth_av
+    # meetings carry), half sustained prosody voices
+    parser.add_argument("--speech-fraction", type=float, default=0.5)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     head, metrics = train(
@@ -461,6 +491,7 @@ def main(argv=None):
         steps=args.steps,
         batch=args.batch,
         log_every=200,
+        speech_fraction=args.speech_fraction,
     )
     logger.info("eval: %s", metrics)
     save_head(head, args.out)

@@ -276,6 +276,49 @@ def test_shipped_face_assets_end_to_end_deployed_path():
     assert acc > 0.55, acc  # chance = 1/7 ≈ 0.14
 
 
+def test_shipped_asr_transcribes_heldout_voices():
+    """The committed ASR checkpoint (trained on phonetic synthetic speech —
+    training/train_whisper_asr) must transcribe spoken lexicon sentences
+    from voices it has never seen with low word error — the semantic
+    transcription capability the reference intended as whisper-medium
+    (src/config/config.py:75-79, broken per defect D3). Also pins that
+    make_transcriber('auto') resolves the shipped assets for full-scale
+    pipelines (and NOT for tiny scales, which keep the stub)."""
+    _asset("checkpoints/whisper_asr/params.msgpack")
+
+    import numpy as np
+
+    from msa_tpu.host.transcription import (
+        JaxWhisperTranscriber,
+        StubTranscriber,
+        make_transcriber,
+    )
+    from msa_tpu.models.whisper import window_samples
+    from msa_tpu.training.train_whisper_asr import (
+        TRAIN_WORDS,
+        make_clip,
+        word_error_rate,
+    )
+
+    tr = make_transcriber("auto", scale="full")
+    assert isinstance(tr, JaxWhisperTranscriber)
+    assert isinstance(make_transcriber("auto", scale="tiny"), StubTranscriber)
+
+    rng = np.random.default_rng(777_001)  # never used by the trainer
+    window = window_samples(tr.cfg)
+    clips, refs = [], []
+    for _ in range(8):
+        wav, text = make_clip(rng, TRAIN_WORDS, window)
+        clips.append(wav)
+        refs.append(text)
+    hyps = tr.transcribe_batch(clips, 16_000)
+    wer = float(
+        np.mean([word_error_rate(r.split(), h.split()) for r, h in zip(refs, hyps)])
+    )
+    assert wer < 0.35, list(zip(refs, hyps))
+    assert any(h for h in hyps)
+
+
 def test_default_initialize_loads_shipped_fusion_params():
     """A DEFAULT ``PipelineModels.initialize()`` must carry the shipped
     trained fusion weights, not random init (VERDICT r2 missing #4 requires
