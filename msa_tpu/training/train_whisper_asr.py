@@ -231,17 +231,47 @@ def evaluate(
     return {"wer": float(np.mean(errs)), "exact": exact / total, "n": total}
 
 
+def _spec_augment(key, mel, n_time_masks=2, t_width=40, n_freq_masks=2, f_width=12):
+    """On-device SpecAugment (Park et al. 2019, public recipe): random time
+    and frequency masks per example, zero-filled (the whisper-normalized
+    log-mels are ≈zero-mean, so zero is the neutral fill). This is the
+    regularizer that closed the first shipped-ASR attempt's generalization
+    gap (train loss 0.058 / fresh-clip teacher-forced byte acc 0.836 → WER
+    0.97: 2 560 clips seen ~37× each were memorized)."""
+    import jax
+    import jax.numpy as jnp
+
+    b, frames, mels_dim = mel.shape
+
+    def mask_axis(key, size, width, n_masks):
+        ks = jax.random.split(key, 2)
+        starts = jax.random.randint(ks[0], (b, n_masks), 0, size)
+        widths = jax.random.randint(ks[1], (b, n_masks), 0, width + 1)
+        pos = jnp.arange(size)[None, None, :]
+        hit = (pos >= starts[..., None]) & (pos < (starts + widths)[..., None])
+        return ~jnp.any(hit, axis=1)  # [b, size] True = keep
+
+    kt, kf, kn = jax.random.split(key, 3)
+    keep_t = mask_axis(kt, frames, t_width, n_time_masks)
+    keep_f = mask_axis(kf, mels_dim, f_width, n_freq_masks)
+    mel = mel * keep_t[:, :, None] * keep_f[:, None, :]
+    return mel + 0.05 * jax.random.normal(kn, mel.shape, mel.dtype)
+
+
 def train(
-    steps: int = 3000,
+    steps: int = 6000,
     batch: int = 32,
-    n_clips: int = 2560,
+    n_clips: int = 6144,
     lr: float = 3e-4,
     seed: int = 0,
     log_every: int = 200,
     cfg=None,
+    eval_every: int = 1500,
 ):
-    """AdamW + cosine decay over a pre-generated clip pool. Returns
-    (model, params, history)."""
+    """AdamW + cosine decay over a pre-generated clip pool, SpecAugment +
+    mel noise per draw (each of the ~steps·batch/n_clips revisits of a clip
+    sees a different masking, so the pool acts much larger than it is).
+    Returns (model, params, history)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -267,7 +297,9 @@ def train(
     opt_state = tx.init(params)
 
     @jax.jit
-    def step_fn(params, opt_state, mel, toks, nr):
+    def step_fn(params, opt_state, key, mel, toks, nr):
+        mel = _spec_augment(key, mel)
+
         def loss_fn(p):
             logits = model.apply({"params": p}, mel, toks[:, :-1])
             targets = toks[:, 1:]
@@ -279,13 +311,16 @@ def train(
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    history = {"loss": []}
+    key = jax.random.PRNGKey(seed)
+    history = {"loss": [], "eval": []}
     n = mels.shape[0]
     for i in range(steps):
         idx = rng.integers(0, n, size=batch)
+        key, sk = jax.random.split(key)
         params, opt_state, loss = step_fn(
             params,
             opt_state,
+            sk,
             jnp.asarray(mels[idx], jnp.float32),
             jnp.asarray(tokens[idx]),
             jnp.asarray(n_real[idx]),
@@ -295,6 +330,12 @@ def train(
             logger.info(
                 "step %d/%d loss=%.4f", i + 1, steps, float(np.mean(history["loss"][-50:]))
             )
+        if eval_every and (i + 1) % eval_every == 0 and (i + 1) < steps:
+            m = evaluate(
+                model, params, cfg, np.random.default_rng(seed + 777), TRAIN_WORDS, n=16
+            )
+            history["eval"].append({"step": i + 1, **m})
+            logger.info("held-out probe @%d: %s", i + 1, m)
     return model, params, history
 
 
@@ -336,9 +377,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Treina o transcritor Whisper-JAX em fala sintética fonética"
     )
-    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--steps", type=int, default=6000)
     parser.add_argument("--batch", type=int, default=32)
-    parser.add_argument("--clips", type=int, default=2560)
+    parser.add_argument("--clips", type=int, default=6144)
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default="msa_tpu/checkpoints/whisper_asr")
