@@ -26,13 +26,24 @@ erased the whole round's record):
   is printed and flushed the moment it exists. Every subsequent measurement
   re-prints a complete, enriched line — whichever line the driver keeps
   (first or last) is valid on its own.
+- The p50 device latency is measured UNCONDITIONALLY right after the
+  headline (its B=1 graph is the smallest compile in the set); the honest
+  streaming number (`p50_process_segment_ms`, full host+device
+  StreamingProcessor.process_segment wall time) comes next; only then the
+  budget-gated e2e and bucket-spectrum stages.
 - A wall-clock budget (``MSA_BENCH_BUDGET_S``, default 420 s) gates each
   optional stage; stages that don't fit are skipped and listed in
   ``"skipped"``.
-- On a cold compilation cache the encoders fall back to ``quantize="none"``
-  (halves the Pallas kernel variants to compile → roughly halves cold-compile
-  wall time; bf16-only measured 2588 vs 2879 vid-s/s in round 2) and the
-  record carries ``"degraded": true`` + the active ``"quantize"`` mode.
+- Cache warmth is a VALIDITY check, not an existence check (round-3
+  postmortem: the driver host rejected every cached entry on machine-feature
+  mismatch while bench saw a non-empty dir and picked the larger int8 kernel
+  set cold). A marker file records (host fingerprint, compiled quantize
+  modes) after each successful headline; warmth requires a matching marker.
+- On a cold cache the encoders fall back to ``quantize="none"`` (halves the
+  Pallas kernel variants to compile → roughly halves cold-compile wall time;
+  bf16-only measured 2588 vs 2879 vid-s/s in round 2) and the record carries
+  ``"degraded": true`` + the active ``"quantize"`` mode. With a generous
+  budget a final stage upgrades the headline to int8 and warms the cache.
 - SIGTERM (what ``timeout`` sends first) triggers an immediate final print
   of whatever has been measured.
 """
@@ -77,17 +88,46 @@ def _on_sigterm(signum, frame):  # noqa: ARG001
     os._exit(0 if _headline_printed else 1)
 
 
-def _cache_is_warm() -> bool:
-    """True when the persistent XLA cache already holds compiled entries
-    (a prior bench/test run on this host) — cold compiles are the round-2
-    failure mode, so coldness picks the cheaper kernel set."""
-    from msa_tpu.utils.jit_cache import _DEFAULT_DIR
+def _marker_path() -> str:
+    from msa_tpu.utils.jit_cache import cache_dir
 
-    cache = os.environ.get("MSA_JIT_CACHE", _DEFAULT_DIR)
+    return os.path.join(cache_dir() or ".", "bench_host_marker.json")
+
+
+def _cache_is_warm(quantize: str) -> bool:
+    """True only when a PREVIOUS bench on THIS host recorded that it
+    finished compiling this quantize mode's kernel set — validity, not mere
+    dir-non-emptiness (the round-3 false positive: the driver host rejected
+    every cached entry on machine-feature mismatch while bench saw a
+    non-empty dir, picked the larger int8 kernel set cold, and the headline
+    compile blew the budget). The cache dir itself is host-fingerprinted
+    (utils.jit_cache), so a marker's presence implies host validity; the
+    marker is written by :func:`_record_warm` after a headline completes."""
     try:
-        return any(os.scandir(cache))
-    except OSError:
+        with open(_marker_path()) as f:
+            marker = json.load(f)
+        return quantize in (marker.get("modes") or [])
+    except (OSError, ValueError):
         return False
+
+
+def _record_warm(quantize: str) -> None:
+    """After a successful headline: this host has compiled+run `quantize`'s
+    full kernel set — future bench runs may trust the cache for it."""
+    modes: list = []
+    try:
+        with open(_marker_path()) as f:
+            modes = list(json.load(f).get("modes") or [])
+    except (OSError, ValueError):
+        pass
+    if quantize not in modes:
+        modes.append(quantize)
+    try:
+        os.makedirs(os.path.dirname(_marker_path()), exist_ok=True)
+        with open(_marker_path(), "w") as f:
+            json.dump({"modes": modes}, f)
+    except OSError:
+        pass
 
 
 def _make_inputs(models, batch: int, tokens: int):
@@ -143,6 +183,40 @@ def _p50_latency(pipeline, models, tokens: int = 32) -> tuple[float, float]:
         t0 = time.perf_counter()
         out, _ = pipeline.run(lat_inp)
         np.asarray(out["fused"])
+        lats.append((time.perf_counter() - t0) * 1000.0)
+    return float(np.percentile(lats, 50)), float(np.percentile(lats, 90))
+
+
+def _p50_process_segment(models, n: int = 100) -> tuple[float, float]:
+    """The HONEST streaming latency (VERDICT r3 weak #4): wall time of
+    ``StreamingProcessor.process_segment`` — PCM16 conversion, speaker match
+    (diarizer embed), frame preprocess, tokenize-or-skip, device dispatch,
+    the ONE device_get, and reference-schema output assembly — not just the
+    device graph. Live streaming passes text="" (D9-faithful), so this is
+    the exact per-segment cost a webcam+mic user pays."""
+    import dataclasses
+
+    from msa_tpu.core.config import SystemConfig
+    from msa_tpu.processors.streaming import StreamingProcessor
+
+    cfg = SystemConfig.from_env()
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, precompile=False)
+    )
+    proc = StreamingProcessor(config=cfg, models=models)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, size=(480, 640, 3), dtype=np.uint8)
+    sr = cfg.streaming.sample_rate
+    t = np.arange(int(SEGMENT_SECONDS * sr)) / sr
+    wav = 0.4 * np.sin(2 * np.pi * 150.0 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+    audio = (np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes()
+
+    for _ in range(3):  # compiles (B=1 bucket usually warm from _p50_latency)
+        proc.process_segment([frame], audio, "")
+    lats = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        proc.process_segment([frame], audio, "")
         lats.append((time.perf_counter() - t0) * 1000.0)
     return float(np.percentile(lats, 50)), float(np.percentile(lats, 90))
 
@@ -216,8 +290,9 @@ def main() -> None:
 
     enable_persistent_cache()
 
-    warm = _cache_is_warm()
-    quantize = os.environ.get("MSA_QUANTIZE") or ("int8" if warm else "none")
+    quantize = os.environ.get("MSA_QUANTIZE") or (
+        "int8" if _cache_is_warm("int8") else "none"
+    )
     skipped: list = []
 
     from msa_tpu.pipeline.graph import PipelineModels, SegmentPipeline
@@ -263,22 +338,37 @@ def main() -> None:
         }
     )
     _emit()
+    _record_warm(quantize)
 
-    # 2) optional stages, cheapest-first, each budget-gated against the
-    #    measured per-shape cost (later shapes reuse in-process Mosaic kernel
-    #    caches, so 0.75× is a conservative estimate).
+    # 2) p50 device latency — UNCONDITIONAL (3 rounds, 0 driver-recorded p50;
+    #    VERDICT r3 next #2). Its B=1 32-token graph is the smallest compile
+    #    in the whole set, and half the north-star metric depends on it.
+    try:
+        p50, p90 = _p50_latency(pipeline, models, buckets[0])
+        _record["p50_segment_latency_ms"] = round(p50, 2)
+        _record["p90_segment_latency_ms"] = round(p90, 2)
+        _emit()
+    except Exception as e:  # noqa: BLE001 — extras never kill the record
+        skipped.append(f"p50:{type(e).__name__}")
+
+    # 3) remaining optional stages, each budget-gated against the measured
+    #    per-shape cost (later shapes reuse in-process Mosaic kernel caches,
+    #    so 0.75× is a conservative estimate).
     est = max(30.0, 0.75 * shape_cost)
 
-    if _remaining() > est:
+    # honest streaming-path latency: full process_segment wall time (host
+    # assembly + device + output build) — its device graph is the one p50
+    # just warmed, so the only new compiles are tiny host-side models.
+    if not tiny and _remaining() > min(est, 120.0):
         try:
-            p50, p90 = _p50_latency(pipeline, models, buckets[0])
-            _record["p50_segment_latency_ms"] = round(p50, 2)
-            _record["p90_segment_latency_ms"] = round(p90, 2)
+            sp50, sp90 = _p50_process_segment(models)
+            _record["p50_process_segment_ms"] = round(sp50, 2)
+            _record["p90_process_segment_ms"] = round(sp90, 2)
             _emit()
-        except Exception as e:  # noqa: BLE001 — extras never kill the record
-            skipped.append(f"p50:{type(e).__name__}")
-    else:
-        skipped.append("p50:budget")
+        except Exception as e:  # noqa: BLE001
+            skipped.append(f"p50seg:{type(e).__name__}")
+    elif not tiny:
+        skipped.append("p50seg:budget")
 
     # e2e runs the video twice (warmup + timed) plus possible new-shape
     # compiles for the processor's mesh-wrapped graph — budget two units.
@@ -316,6 +406,44 @@ def main() -> None:
                 skipped.append(f"bucket{tokens}:{type(e).__name__}")
         else:
             skipped.append(f"bucket{tokens}:budget")
+
+    # 4) int8 headline upgrade — only worth a shot with a GENEROUS budget
+    #    (cold int8 kernel-set compile measured ~600 s in round 3; the
+    #    default 420 s budget never fits it after the stages above). When it
+    #    lands it both raises `value` and warms the cache for future rounds.
+    if (
+        not tiny
+        and quantize == "none"
+        and "MSA_QUANTIZE" not in os.environ
+        and _remaining() > 600 + 2 * est
+    ):
+        try:
+            models8 = PipelineModels.initialize(seed=0, quantize="int8")
+            pipe8 = SegmentPipeline(models8)
+            v8 = round(
+                _throughput(
+                    pipe8,
+                    _make_inputs(models8, batch, headline_tokens),
+                    batch,
+                    iters,
+                    warmup_iters,
+                ),
+                2,
+            )
+            _record_warm("int8")
+            if v8 > _record["value"]:
+                _record.update(
+                    {
+                        "value": v8,
+                        "vs_baseline": round(v8 / TARGET_X_REALTIME, 3),
+                        "quantize": "int8",
+                        "degraded": False,
+                    }
+                )
+                _record["buckets"][str(headline_tokens)] = v8
+                _emit()
+        except Exception as e:  # noqa: BLE001
+            skipped.append(f"int8:{type(e).__name__}")
 
     if skipped:
         _record["skipped"] = skipped

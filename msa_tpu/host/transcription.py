@@ -6,6 +6,19 @@ constructed an ASR pipeline from a BERT checkpoint and rebuilt it per segment
 "". The interface here is pluggable; the default stub preserves the
 reference's *effective* behavior while a real backend (HF whisper when
 weights are available) can drop in.
+
+Shipped-ASR scope: the in-repo checkpoint (``checkpoints/whisper_asr``) is
+trained on procedurally synthesized Portuguese over the emotion lexicon the
+text heads understand (training/text_synth.EMOTION_WORDS plus sentence
+fillers) — a LEXICON-CLOSED distribution, by construction, the same way
+training/text_synth documents the text heads' scope. Within that envelope it
+transcribes unseen voices/prosody; outside it (open-vocabulary speech) its
+output measures phonetic compositionality (eval.json's ``novel_wer``), not
+general ASR. ``make_transcriber('auto')`` only serves it when the eval
+metrics recorded at training time (eval.json next to the weights) pass
+:data:`SHIPPED_WER_BAR` — a checkpoint that cannot demonstrate held-out
+quality falls back to the stub instead of feeding wrong words into the text
+branch.
 """
 
 from __future__ import annotations
@@ -13,6 +26,11 @@ from __future__ import annotations
 from typing import Protocol
 
 import numpy as np
+
+#: Held-out-WER bar a shipped ASR checkpoint must have RECORDED (eval.json,
+#: written by training.train_whisper_asr.save_asr) for make_transcriber
+#: ('auto') to serve it. Matches the shipped-asset test's assertion.
+SHIPPED_WER_BAR = 0.35
 
 
 class Transcriber(Protocol):
@@ -203,6 +221,22 @@ def _auto_tokenizer(cfg):
     return SyllableTokenizer()
 
 
+def _shipped_asr_passes_bar(asset_dir) -> bool:
+    """True iff ``asset_dir/eval.json`` (written by save_asr at training
+    time) records a held-out WER under :data:`SHIPPED_WER_BAR`. Missing or
+    unreadable metrics count as FAILING — quality must be demonstrated by a
+    machine-checkable artifact, not prose (round-3 verdict: a WER-0.97
+    checkpoint shipped because the claim lived only in docstrings)."""
+    import json
+    from pathlib import Path
+
+    try:
+        metrics = json.loads((Path(asset_dir) / "eval.json").read_text())
+        return float(metrics["wer"]) < SHIPPED_WER_BAR
+    except (OSError, ValueError, KeyError, TypeError):
+        return False
+
+
 def make_transcriber(name: str, language: str = "pt", scale: str = "full") -> Transcriber:
     """Build a Transcriber by config name (TranscriptionConfig.model).
 
@@ -216,8 +250,10 @@ def make_transcriber(name: str, language: str = "pt", scale: str = "full") -> Tr
       (weights + BPE tokenizer) win; else the SHIPPED in-repo ASR
       (``msa_tpu/checkpoints/whisper_asr`` — trained on phonetic synthetic
       speech over the text heads' emotion lexicon,
-      training.train_whisper_asr); else stub (the reference's effective
-      behavior). The production default: real transcription out of the box.
+      training.train_whisper_asr), served ONLY if its recorded held-out
+      eval (eval.json) passes :data:`SHIPPED_WER_BAR`; else stub (the
+      reference's effective behavior). Lexicon-closed scope — see the
+      module docstring.
     - ``jax-whisper``: always-on TPU-native whisper (random-init weights
       when no assets; text still flows, useful for tests/integration)
     - anything else: HF pipeline adapter (needs downloadable weights)
@@ -260,6 +296,8 @@ def make_transcriber(name: str, language: str = "pt", scale: str = "full") -> Tr
             if scale == "full"
             else None
         )
+        if shipped and not _shipped_asr_passes_bar(Path(shipped).parent):
+            shipped = None  # no/failing recorded eval → stub, never bad text
         if shipped and Path(shipped).exists():
             from msa_tpu.training.train_whisper_asr import load_asr
 

@@ -1,4 +1,4 @@
-"""ASR training on phonetic synthetic speech — ships a working transcriber.
+"""ASR training on phonetic synthetic speech — an on-the-fly clip stream.
 
 Closes the last stubbed subsystem in the default pipeline: the reference
 intended ``openai/whisper-medium`` for transcription (reference
@@ -9,11 +9,19 @@ this recipe trains the TPU-native Whisper model
 (:mod:`msa_tpu.models.whisper`) to transcribe procedurally synthesized
 spoken Portuguese (:mod:`msa_tpu.training.speech_synth`):
 
+- **no fixed pool**: every training step draws a FRESH batch — new text,
+  voice, prosody, offset, phases, noise — rendered on the accelerator
+  (speech_synth.render_knots_batch) from tiny host-built knot arrays.
+  There is nothing to memorize; held-out WER measures the model, not the
+  pool (the round-3 checkpoint memorized its 6144-clip pool — WER 0.97).
+  Host cost is ~0.4 ms/clip (knots only); the per-sample synthesis,
+  mel frontend, SpecAugment and the train step fuse into ONE jitted graph;
 - **vocabulary**: the emotion lexicon the text heads are trained on
   (:data:`msa_tpu.training.text_synth.EMOTION_WORDS`) plus sentence fillers
   — so transcripts produced by the shipped ASR are exactly the inputs the
-  shipped text-emotion heads understand, making the full default chain
-  (audio → ASR → text heads → fusion) semantically live end to end;
+  shipped text-emotion heads understand. The trained transcriber is
+  lexicon-scoped by construction: novel-word WER (recorded in ``eval.json``)
+  measures phonetic compositionality, not open-vocabulary ASR;
 - **speaker/prosody invariance**: every clip draws a fresh voice identity
   (:func:`msa_tpu.models.speaker.random_voice`) and half the clips carry an
   emotion-class prosody (:data:`msa_tpu.training.train_audio_emotion.
@@ -24,20 +32,23 @@ spoken Portuguese (:mod:`msa_tpu.training.speech_synth`):
   host.transcription._auto_tokenizer), start/eos ids 2/1;
 - **features**: the SAME jitted log-mel as deployment
   (:func:`msa_tpu.models.whisper.log_mel_window`);
-- **generalization metrics**: eval voices are never seen in training; a
-  novel-word set (outside the training vocabulary entirely) measures
-  phonetic compositionality (byte-level decoding over formant transitions).
+- **recorded quality**: the final held-out evals (unseen voices, numpy
+  synthesis path — the distribution the shipped-asset test samples) are
+  written to ``eval.json`` NEXT TO the checkpoint, and
+  ``host.transcription.make_transcriber('auto')`` refuses to serve a
+  checkpoint whose recorded WER fails its bar — a failing retrain can
+  never silently become the default transcriber again.
 
 CLI: ``python -m msa_tpu.training.train_whisper_asr`` writes
-``msa_tpu/checkpoints/whisper_asr/{params.msgpack,config.json}``; the
-default ``auto`` transcriber resolves these shipped assets
-(host.transcription.make_transcriber) so a fresh clone transcribes out of
-the box.
+``msa_tpu/checkpoints/whisper_asr/{params.msgpack,config.json,eval.json,
+history.json}``; the default ``auto`` transcriber resolves these shipped
+assets (host.transcription.make_transcriber) when eval.json passes the bar.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import logging
 from pathlib import Path
@@ -46,7 +57,14 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from msa_tpu.models.speaker import random_voice
-from msa_tpu.training.speech_synth import synth_utterance
+from msa_tpu.training.speech_synth import (
+    pack_knots,
+    render_knots_batch,
+    stack_knots,
+    synth_utterance,
+    unpack_knots,
+    utterance_knots,
+)
 from msa_tpu.training.text_synth import EMOTION_WORDS
 from msa_tpu.training.train_audio_emotion import CLASS_PROSODY, _jitter
 
@@ -70,19 +88,21 @@ NOVEL_WORDS: Tuple[str, ...] = (
 
 
 def asr_config():
-    """The shipped transcriber architecture: a 2+2-layer, d=192 Whisper over
+    """The shipped transcriber architecture: a 3+3-layer, d=256 Whisper over
     the pipeline's 5 s / 16 kHz segment window (max_source 250 encoder
     positions = 500 mel frames = 80 000 samples — the same static window the
-    segment pipeline uses, so `_pad_waveform` costs nothing extra)."""
+    segment pipeline uses, so `_pad_waveform` costs nothing extra). Sized up
+    from round 3's 2+2/d=192 per VERDICT r3 #1 — with the on-the-fly stream
+    capacity, not data, bounds quality."""
     from msa_tpu.models.whisper import WhisperConfig
 
     return WhisperConfig(
         n_mels=80,
-        d_model=192,
-        encoder_layers=2,
-        decoder_layers=2,
+        d_model=256,
+        encoder_layers=3,
+        decoder_layers=3,
         num_heads=4,
-        d_ff=768,
+        d_ff=1024,
         vocab_size=512,
         max_source_positions=250,
         max_target_positions=64,
@@ -108,17 +128,27 @@ def sample_text(rng: np.random.Generator, pool: Sequence[str], max_bytes: int = 
     return text
 
 
+def _sample_prosody(rng: np.random.Generator):
+    """Half the clips carry a jittered emotion-class prosody (make_clip's
+    distribution)."""
+    if rng.uniform() < 0.5:
+        return _jitter(rng, CLASS_PROSODY[int(rng.integers(0, len(CLASS_PROSODY)))])
+    return None
+
+
 def make_clip(
     rng: np.random.Generator,
     pool: Sequence[str],
     window: int,
     sample_rate: int = SR,
 ) -> Tuple[np.ndarray, str]:
-    """One training clip: spoken words at a random offset in the static
-    window, under a random voice and (half the time) an emotion prosody."""
+    """One clip on the numpy path (held-out EVALUATION distribution): spoken
+    words at a random offset in the static window, under a random voice and
+    (half the time) an emotion prosody. Training draws the same distribution
+    through the device renderer (:func:`stream_batch`)."""
     text = sample_text(rng, pool)
     voice = random_voice(rng)
-    pros = _jitter(rng, CLASS_PROSODY[int(rng.integers(0, len(CLASS_PROSODY)))]) if rng.uniform() < 0.5 else None
+    pros = _sample_prosody(rng)
     wav = synth_utterance(rng, voice, text, sample_rate, prosody=pros)
     out = np.zeros(window, np.float32)
     free = max(0, window - wav.shape[0])
@@ -142,40 +172,29 @@ def encode_targets(tokenizer, texts: Sequence[str], cfg) -> Tuple[np.ndarray, np
     return toks, n_real
 
 
-def build_dataset(
+def stream_batch(
     rng: np.random.Generator,
-    n_clips: int,
+    tokenizer,
     pool: Sequence[str],
+    batch: int,
+    window: int,
     cfg,
-    mel_batch: int = 64,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Pre-generate (mels f16 [N, frames, n_mels], tokens, n_real). Host
-    synthesis is the slow part (~0.15 s/clip on 1 vCPU); mels run jitted in
-    batches on the default device."""
-    import jax
-    import jax.numpy as jnp
-
-    from msa_tpu.models.whisper import log_mel_window, window_samples
-
-    window = window_samples(cfg)
-    tokenizer = make_tokenizer()
-    mel_fn = jax.jit(jax.vmap(lambda x: log_mel_window(x, cfg)))
-    mels: List[np.ndarray] = []
-    texts: List[str] = []
-    for lo in range(0, n_clips, mel_batch):
-        m = min(mel_batch, n_clips - lo)
-        waves = np.empty((m, window), np.float32)
-        for j in range(m):
-            waves[j], text = make_clip(rng, pool, window)
-            texts.append(text)
-        # pad the last chunk so exactly one mel shape compiles
-        if m < mel_batch:
-            waves = np.pad(waves, [(0, mel_batch - m), (0, 0)])
-        mels.append(np.asarray(mel_fn(jnp.asarray(waves)), np.float16)[:m])
-        if (lo // mel_batch) % 8 == 0:
-            logger.info("dataset: %d/%d clips", lo + m, n_clips)
+    """One FRESH training batch: per-clip knots (host, ~0.4 ms/clip) packed
+    into ONE [B, D] buffer (speech_synth.pack_knots — the axon tunnel
+    charges per-array upload latency) + byte targets. The waveforms are
+    rendered on-device inside the jitted train step
+    (speech_synth.render_knots_batch)."""
+    clips, texts = [], []
+    for _ in range(batch):
+        text = sample_text(rng, pool)
+        voice = random_voice(rng)
+        clips.append(
+            utterance_knots(rng, voice, text, window, prosody=_sample_prosody(rng))
+        )
+        texts.append(text)
     tokens, n_real = encode_targets(tokenizer, texts, cfg)
-    return np.concatenate(mels), tokens, n_real
+    return pack_knots(stack_knots(clips)), tokens, n_real
 
 
 def word_error_rate(ref: Sequence[str], hyp: Sequence[str]) -> float:
@@ -190,24 +209,40 @@ def word_error_rate(ref: Sequence[str], hyp: Sequence[str]) -> float:
     return float(d[-1, -1]) / max(1, len(ref))
 
 
-def evaluate(
-    model, params, cfg, rng: np.random.Generator, pool: Sequence[str], n: int = 48
-) -> dict:
-    """Greedy-decode `n` fresh clips (unseen voices): corpus WER + exact rate."""
+@functools.lru_cache(maxsize=4)
+def _eval_fns(cfg):
+    """Jitted mel + greedy-decode for `cfg`, built ONCE per config — repeated
+    mid-training probes reuse the compiled graphs (round-3 advisor finding:
+    fresh jax.jit wrappers per evaluate() call forced a recompile each
+    probe)."""
     import jax
-    import jax.numpy as jnp
 
     from msa_tpu.models import whisper as W
-    from msa_tpu.models.whisper import log_mel_window, window_samples
+    from msa_tpu.models.whisper import log_mel_window
 
-    tokenizer = make_tokenizer()
-    window = window_samples(cfg)
+    model = W.WhisperModel(cfg)
     mel_fn = jax.jit(jax.vmap(lambda x: log_mel_window(x, cfg)))
     decode = jax.jit(
         lambda p, mel: model.apply(
             {"params": p}, mel, cfg.max_target_positions, method=W.WhisperModel.greedy_decode
         )
     )
+    return mel_fn, decode
+
+
+def evaluate(
+    model, params, cfg, rng: np.random.Generator, pool: Sequence[str], n: int = 48
+) -> dict:
+    """Greedy-decode `n` fresh clips (unseen voices, numpy synthesis path —
+    the shipped-asset test's distribution): corpus WER + exact rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from msa_tpu.models.whisper import window_samples
+
+    tokenizer = make_tokenizer()
+    window = window_samples(cfg)
+    mel_fn, decode = _eval_fns(cfg)
     errs, exact, total = [], 0, 0
     bs = 16
     for lo in range(0, n, bs):
@@ -233,11 +268,12 @@ def evaluate(
 
 def _spec_augment(key, mel, n_time_masks=2, t_width=40, n_freq_masks=2, f_width=12):
     """On-device SpecAugment (Park et al. 2019, public recipe): random time
-    and frequency masks per example, zero-filled (the whisper-normalized
-    log-mels are ≈zero-mean, so zero is the neutral fill). This is the
-    regularizer that closed the first shipped-ASR attempt's generalization
-    gap (train loss 0.058 / fresh-clip teacher-forced byte acc 0.836 → WER
-    0.97: 2 560 clips seen ~37× each were memorized)."""
+    and frequency masks per example, then Gaussian mel noise (std 0.05) over
+    the whole spectrogram — masked cells end up N(0, 0.05), not exactly zero
+    (the whisper-normalized log-mels are ≈zero-mean, so that is the neutral
+    fill). With the on-the-fly stream this is belt-and-braces robustness to
+    the numpy-vs-device synthesis micro-differences rather than the primary
+    anti-memorization defense it was for the round-3 fixed pool."""
     import jax
     import jax.numpy as jnp
 
@@ -259,34 +295,42 @@ def _spec_augment(key, mel, n_time_masks=2, t_width=40, n_freq_masks=2, f_width=
 
 
 def train(
-    steps: int = 6000,
-    batch: int = 32,
-    n_clips: int = 6144,
+    steps: int = 12_000,
+    batch: int = 64,
     lr: float = 3e-4,
     seed: int = 0,
-    log_every: int = 200,
+    log_every: int = 500,
     cfg=None,
-    eval_every: int = 1500,
+    eval_every: int = 2000,
 ):
-    """AdamW + cosine decay over a pre-generated clip pool, SpecAugment +
-    mel noise per draw (each of the ~steps·batch/n_clips revisits of a clip
-    sees a different masking, so the pool acts much larger than it is).
-    Returns (model, params, history)."""
+    """AdamW + cosine decay over an endless fresh-clip stream: each step's
+    batch is synthesized on-device from new host-built knots (new text,
+    voice, prosody, offsets, phases, noise — nothing repeats, nothing can be
+    memorized). Synthesis + mel + SpecAugment + fwd/bwd fuse into ONE jitted
+    step. Returns (model, params, history).
+
+    TPU-tunnel discipline (measured on the axon link, see PARITY.md r4):
+    params/opt_state are DONATED (a non-donated step spent ~5 s/step minting
+    fresh buffer handles for every param/opt leaf — 400× the 13 ms compute);
+    the knot batch ships as ONE packed buffer (the 20-leaf dict cost 0.49 s
+    in per-array upload latency); and the loss is fetched a few steps behind
+    the dispatch so host knot-building overlaps device compute without the
+    queue running unboundedly ahead."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from msa_tpu.models import whisper as W
+    from msa_tpu.models.whisper import log_mel_window, window_samples
 
     cfg = cfg or asr_config()
     model = W.WhisperModel(cfg)
     params = W.init_params(cfg, seed)
-
+    window = window_samples(cfg)
+    tokenizer = make_tokenizer()
     rng = np.random.default_rng(seed)
-    mels, tokens, n_real = build_dataset(rng, n_clips, TRAIN_WORDS, cfg)
-    logger.info("dataset ready: %s mels, %s tokens", mels.shape, tokens.shape)
 
-    warmup = min(100, max(1, steps // 10))
+    warmup = min(200, max(1, steps // 10))
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(
@@ -296,9 +340,12 @@ def train(
     )
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step_fn(params, opt_state, key, mel, toks, nr):
-        mel = _spec_augment(key, mel)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(params, opt_state, key, flat_knots, toks, nr):
+        k_synth, k_aug = jax.random.split(key)
+        waves = render_knots_batch(unpack_knots(flat_knots), k_synth, window)
+        mel = jax.vmap(lambda x: log_mel_window(x, cfg))(waves)
+        mel = _spec_augment(k_aug, mel)
 
         def loss_fn(p):
             logits = model.apply({"params": p}, mel, toks[:, :-1])
@@ -313,33 +360,54 @@ def train(
 
     key = jax.random.PRNGKey(seed)
     history = {"loss": [], "eval": []}
-    n = mels.shape[0]
+    pending: List = []  # (step, device-loss) — fetched a few steps behind
+    depth = 4
+
+    def drain(to_len: int) -> None:
+        while len(pending) > to_len:
+            _, dev_loss = pending.pop(0)
+            history["loss"].append(float(dev_loss))
+
     for i in range(steps):
-        idx = rng.integers(0, n, size=batch)
+        flat, tokens, n_real = stream_batch(
+            rng, tokenizer, TRAIN_WORDS, batch, window, cfg
+        )
         key, sk = jax.random.split(key)
         params, opt_state, loss = step_fn(
             params,
             opt_state,
             sk,
-            jnp.asarray(mels[idx], jnp.float32),
-            jnp.asarray(tokens[idx]),
-            jnp.asarray(n_real[idx]),
+            jnp.asarray(flat),
+            jnp.asarray(tokens),
+            jnp.asarray(n_real),
         )
-        history["loss"].append(float(loss))
+        pending.append((i, loss))
+        drain(depth)
         if log_every and (i + 1) % log_every == 0:
+            drain(0)
             logger.info(
-                "step %d/%d loss=%.4f", i + 1, steps, float(np.mean(history["loss"][-50:]))
+                "step %d/%d loss=%.4f",
+                i + 1,
+                steps,
+                float(np.mean(history["loss"][-50:])),
             )
         if eval_every and (i + 1) % eval_every == 0 and (i + 1) < steps:
+            drain(0)  # evaluate() reads params — sync the queue first
             m = evaluate(
                 model, params, cfg, np.random.default_rng(seed + 777), TRAIN_WORDS, n=16
             )
             history["eval"].append({"step": i + 1, **m})
             logger.info("held-out probe @%d: %s", i + 1, m)
+    drain(0)
     return model, params, history
 
 
-def save_asr(params, cfg, out_dir: str) -> None:
+def save_asr(params, cfg, out_dir: str, metrics: Optional[dict] = None,
+             history: Optional[dict] = None) -> None:
+    """Persist params + config and, when given, the held-out eval metrics
+    (``eval.json`` — what make_transcriber('auto') gates on) and the training
+    history (``history.json``) so shipped-quality claims are machine-checkable
+    artifacts, not prose (VERDICT r3 missing #4)."""
     import flax.serialization
     import jax
 
@@ -349,6 +417,10 @@ def save_asr(params, cfg, out_dir: str) -> None:
     (out / "params.msgpack").write_bytes(
         flax.serialization.to_bytes(jax.device_get(params))
     )
+    if metrics is not None:
+        (out / "eval.json").write_text(json.dumps(metrics, indent=1))
+    if history is not None:
+        (out / "history.json").write_text(json.dumps(history))
 
 
 def load_asr(asset_dir: str):
@@ -371,15 +443,31 @@ def load_asr(asset_dir: str):
     return cfg, params
 
 
+def final_metrics(model, params, cfg, seed: int) -> dict:
+    """The recorded quality contract: held-out WER/exact on the training
+    vocabulary (fresh voices) and on novel words (phonetic generalization)."""
+    eval_rng = np.random.default_rng(seed + 10_000)
+    seen = evaluate(model, params, cfg, eval_rng, TRAIN_WORDS)
+    novel = evaluate(model, params, cfg, eval_rng, NOVEL_WORDS)
+    return {
+        "wer": seen["wer"],
+        "exact": seen["exact"],
+        "n": seen["n"],
+        "novel_wer": novel["wer"],
+        "novel_exact": novel["exact"],
+        "novel_n": novel["n"],
+        "eval_seed": seed + 10_000,
+    }
+
+
 def main(argv=None):
     import argparse
 
     parser = argparse.ArgumentParser(
         description="Treina o transcritor Whisper-JAX em fala sintética fonética"
     )
-    parser.add_argument("--steps", type=int, default=6000)
-    parser.add_argument("--batch", type=int, default=32)
-    parser.add_argument("--clips", type=int, default=6144)
+    parser.add_argument("--steps", type=int, default=12_000)
+    parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default="msa_tpu/checkpoints/whisper_asr")
@@ -396,23 +484,22 @@ def main(argv=None):
         from msa_tpu.models import whisper as W
 
         model = W.WhisperModel(cfg)
-    else:
-        model, params, history = train(
-            steps=args.steps,
-            batch=args.batch,
-            n_clips=args.clips,
-            lr=args.lr,
-            seed=args.seed,
-        )
-        cfg = model.cfg
-        save_asr(params, cfg, args.out)
-        logger.info("saved ASR assets to %s", args.out)
+        metrics = final_metrics(model, params, cfg, args.seed)
+        logger.info("eval: %s", metrics)
+        (Path(args.out) / "eval.json").write_text(json.dumps(metrics, indent=1))
+        return 0
 
-    eval_rng = np.random.default_rng(args.seed + 10_000)
-    seen = evaluate(model, params, cfg, eval_rng, TRAIN_WORDS)
-    novel = evaluate(model, params, cfg, eval_rng, NOVEL_WORDS)
-    logger.info("eval (train vocab, unseen voices): %s", seen)
-    logger.info("eval (novel words): %s", novel)
+    model, params, history = train(
+        steps=args.steps, batch=args.batch, lr=args.lr, seed=args.seed
+    )
+    cfg = model.cfg
+    metrics = final_metrics(model, params, cfg, args.seed)
+    logger.info("eval (train vocab, unseen voices): wer=%.4f exact=%.3f",
+                metrics["wer"], metrics["exact"])
+    logger.info("eval (novel words): wer=%.4f exact=%.3f",
+                metrics["novel_wer"], metrics["novel_exact"])
+    save_asr(params, cfg, args.out, metrics=metrics, history=history)
+    logger.info("saved ASR assets + eval.json to %s", args.out)
     return 0
 
 

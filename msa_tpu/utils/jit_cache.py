@@ -7,6 +7,14 @@ in-process (extra layers are free), and this module adds the cross-process
 half: identical executables hit a disk cache, so repeat invocations of
 bench/CLI/driver entry points spend their wall clock running, not compiling.
 
+The cache directory is keyed by a HOST FINGERPRINT (CPU feature set + jax
+version + platform selection): XLA:CPU AOT entries compiled on a machine
+with different CPU features are rejected at load time with pages of
+``cpu_aot_loader`` "machine features ... SIGILL" warnings (round-3 driver
+postmortem — the warnings polluted official artifacts and made a cold cache
+look warm). Per-host directories mean a foreign host's entries are never
+even visited.
+
 Never overrides a cache dir the process already configured (tests set their
 own in tests/conftest.py).
 """
@@ -23,13 +31,42 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def host_fingerprint() -> str:
+    """Identity of what makes persisted XLA executables loadable HERE:
+    jax version + platform selection + the host CPU feature set. Cheap and
+    import-safe — does NOT initialize a jax backend."""
+    import hashlib
+
+    import jax
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    raw = "|".join([jax.__version__, os.environ.get("JAX_PLATFORMS", ""), flags])
+    return hashlib.sha256(raw.encode()).hexdigest()[:16]
+
+
+def cache_dir(path: str | None = None) -> str:
+    """The effective per-host cache directory ("" when disabled)."""
+    base = path or os.environ.get("MSA_JIT_CACHE", _DEFAULT_DIR)
+    if not base:
+        return ""
+    return os.path.join(base, host_fingerprint())
+
+
 def enable_persistent_cache(path: str | None = None) -> None:
     """Idempotent; a no-op when a cache dir is already configured or the
     jax version lacks the option. ``MSA_JIT_CACHE`` overrides the default
-    location; ``MSA_JIT_CACHE=""`` disables."""
+    base location; ``MSA_JIT_CACHE=""`` disables."""
     import jax
 
-    cache = path or os.environ.get("MSA_JIT_CACHE", _DEFAULT_DIR)
+    cache = cache_dir(path)
     if not cache:
         return
     try:

@@ -283,40 +283,82 @@ def test_shipped_asr_transcribes_heldout_voices():
     transcription capability the reference intended as whisper-medium
     (src/config/config.py:75-79, broken per defect D3). Also pins that
     make_transcriber('auto') resolves the shipped assets for full-scale
-    pipelines (and NOT for tiny scales, which keep the stub)."""
+    pipelines (and NOT for tiny scales, which keep the stub). The checkpoint
+    must also ship its training-time held-out eval (eval.json) passing the
+    serve bar — without it make_transcriber('auto') refuses the assets —
+    and show nontrivial phonetic generalization on words outside the
+    training lexicon (novel_wer, the recorded generalization envelope)."""
     _asset("checkpoints/whisper_asr/params.msgpack")
+
+    import json
 
     import numpy as np
 
     from msa_tpu.host.transcription import (
+        SHIPPED_WER_BAR,
         JaxWhisperTranscriber,
         StubTranscriber,
         make_transcriber,
     )
     from msa_tpu.models.whisper import window_samples
     from msa_tpu.training.train_whisper_asr import (
+        NOVEL_WORDS,
         TRAIN_WORDS,
         make_clip,
         word_error_rate,
     )
 
+    eval_path = _asset("checkpoints/whisper_asr/eval.json")
+    recorded = json.loads(open(eval_path).read())
+    assert recorded["wer"] < SHIPPED_WER_BAR, recorded
+    assert recorded["novel_wer"] < 1.0, recorded  # generalization recorded
+
     tr = make_transcriber("auto", scale="full")
     assert isinstance(tr, JaxWhisperTranscriber)
     assert isinstance(make_transcriber("auto", scale="tiny"), StubTranscriber)
 
-    rng = np.random.default_rng(777_001)  # never used by the trainer
-    window = window_samples(tr.cfg)
-    clips, refs = [], []
-    for _ in range(8):
-        wav, text = make_clip(rng, TRAIN_WORDS, window)
-        clips.append(wav)
-        refs.append(text)
-    hyps = tr.transcribe_batch(clips, 16_000)
-    wer = float(
-        np.mean([word_error_rate(r.split(), h.split()) for r, h in zip(refs, hyps)])
-    )
-    assert wer < 0.35, list(zip(refs, hyps))
-    assert any(h for h in hyps)
+    def measured_wer(pool, n, seed):
+        rng = np.random.default_rng(seed)  # never used by the trainer
+        window = window_samples(tr.cfg)
+        clips, refs = [], []
+        for _ in range(n):
+            wav, text = make_clip(rng, pool, window)
+            clips.append(wav)
+            refs.append(text)
+        hyps = tr.transcribe_batch(clips, 16_000)
+        pairs = list(zip(refs, hyps))
+        return (
+            float(
+                np.mean([word_error_rate(r.split(), h.split()) for r, h in pairs])
+            ),
+            pairs,
+        )
+
+    wer, pairs = measured_wer(TRAIN_WORDS, 8, 777_001)
+    assert wer < 0.35, pairs
+    assert any(h for h in pairs[0])
+    # novel words (outside the training vocabulary entirely): looser bar —
+    # phonetic compositionality, not memorization, carries these
+    novel_wer, novel_pairs = measured_wer(NOVEL_WORDS, 8, 777_002)
+    assert novel_wer < 0.9, novel_pairs
+
+
+def test_auto_transcriber_gates_on_recorded_eval(tmp_path):
+    """A shipped checkpoint with no/failing recorded eval must NOT be served:
+    _shipped_asr_passes_bar is the guard make_transcriber('auto') applies so
+    a bad retrain can never silently feed wrong words into the text branch
+    (round-3 regression: a WER-0.97 checkpoint auto-resolved by default)."""
+    import json
+
+    from msa_tpu.host.transcription import _shipped_asr_passes_bar
+
+    assert not _shipped_asr_passes_bar(tmp_path)  # no eval.json at all
+    (tmp_path / "eval.json").write_text(json.dumps({"wer": 0.97}))
+    assert not _shipped_asr_passes_bar(tmp_path)  # recorded quality fails
+    (tmp_path / "eval.json").write_text(json.dumps({"exact": 1.0}))
+    assert not _shipped_asr_passes_bar(tmp_path)  # malformed: no wer key
+    (tmp_path / "eval.json").write_text(json.dumps({"wer": 0.12}))
+    assert _shipped_asr_passes_bar(tmp_path)  # passing record serves
 
 
 def test_default_initialize_loads_shipped_fusion_params():

@@ -99,14 +99,58 @@ def tiny_asr_cfg():
 
 def test_training_step_learns(tiny_asr_cfg):
     """A short run on a tiny config decreases the teacher-forced CE —
-    validates dataset construction, masking, and the step function."""
+    validates the on-the-fly stream (knots → device render → mel → step),
+    masking, and the step function."""
     model, params, history = T.train(
-        steps=30, batch=8, n_clips=24, lr=1e-3, seed=0, log_every=0, cfg=tiny_asr_cfg
+        steps=30, batch=8, lr=1e-3, seed=0, log_every=0, cfg=tiny_asr_cfg,
+        eval_every=0,
     )
     early = np.mean(history["loss"][:5])
     late = np.mean(history["loss"][-5:])
     assert late < early, (early, late)
     assert np.isfinite(history["loss"]).all()
+
+
+def test_device_render_matches_numpy_distribution():
+    """The device renderer (training data) must produce the same acoustics
+    as the numpy path (held-out eval data): matched phone-dependent spectral
+    statistics for the same text, and make_clip-compatible peak level."""
+    import jax
+    import jax.numpy as jnp
+
+    from msa_tpu.models.speaker import random_voice
+    from msa_tpu.training import speech_synth as S
+
+    window = 24_000
+    rng = np.random.default_rng(5)
+
+    def stats(x):
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        freqs = np.fft.rfftfreq(len(x), 1 / 16_000)
+        high = spec[freqs >= 4000].sum() / (spec.sum() + 1e-12)
+        centroid = float((freqs * spec).sum() / (spec.sum() + 1e-12))
+        return float(high), centroid
+
+    v1, v2 = random_voice(rng), random_voice(rng)
+    clips = [
+        S.utterance_knots(rng, v, text, window)
+        for v, text in ((v1, "sossa"), (v1, "mano"), (v2, "vivi"), (v2, "vuvu"))
+    ]
+    batch = {k: jnp.asarray(v) for k, v in S.stack_knots(clips).items()}
+    out = np.asarray(
+        jax.jit(lambda kn, key: S.render_knots_batch(kn, key, window))(
+            batch, jax.random.PRNGKey(0)
+        )
+    )
+    assert out.shape == (4, window) and np.isfinite(out).all()
+    # peak ≈ 0.3·energy, as synth_utterance normalizes
+    assert np.all(np.abs(out).max(axis=1) < 0.7)
+    s_high, _ = stats(out[0])
+    m_high, _ = stats(out[1])
+    assert s_high > 2 * m_high, (s_high, m_high)  # sibilant ≫ nasal high-band
+    _, c_i = stats(out[2])
+    _, c_u = stats(out[3])
+    assert c_i > c_u, (c_i, c_u)  # /i/ centroid above /u/
 
 
 def test_make_clip_static_window():
