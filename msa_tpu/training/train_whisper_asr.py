@@ -16,12 +16,14 @@ spoken Portuguese (:mod:`msa_tpu.training.speech_synth`):
   pool (the round-3 checkpoint memorized its 6144-clip pool — WER 0.97).
   Host cost is ~0.4 ms/clip (knots only); the per-sample synthesis,
   mel frontend, SpecAugment and the train step fuse into ONE jitted graph;
-- **vocabulary**: the emotion lexicon the text heads are trained on
-  (:data:`msa_tpu.training.text_synth.EMOTION_WORDS`) plus sentence fillers
-  — so transcripts produced by the shipped ASR are exactly the inputs the
-  shipped text-emotion heads understand. The trained transcriber is
-  lexicon-scoped by construction: novel-word WER (recorded in ``eval.json``)
-  measures phonetic compositionality, not open-vocabulary ASR;
+- **vocabulary**: a mixture — the emotion lexicon the text heads are
+  trained on (:data:`msa_tpu.training.text_synth.EMOTION_WORDS`) plus
+  sentence fillers (so transcripts produced by the shipped ASR are exactly
+  the inputs the shipped text-emotion heads understand), and ~35% fresh
+  random pseudo-words (:func:`random_word`) so spelling-by-phonetics is a
+  trained skill rather than extrapolation. Novel-word WER (recorded in
+  ``eval.json``) measures that phonetic compositionality; open-vocabulary
+  accents/punctuation remain out of scope;
 - **speaker/prosody invariance**: every clip draws a fresh voice identity
   (:func:`msa_tpu.models.speaker.random_voice`) and half the clips carry an
   emotion-class prosody (:data:`msa_tpu.training.train_audio_emotion.
@@ -85,6 +87,56 @@ NOVEL_WORDS: Tuple[str, ...] = (
     "janela", "cadeira", "caminho", "amarelo", "segundo", "palavra",
     "futuro", "cidade", "momento", "pessoa",
 )
+_NOVEL_SET = frozenset(NOVEL_WORDS)
+
+# --- pseudo-word stream: phonetic compositionality as a TRAINING signal ----
+# A closed-lexicon stream teaches audio → lexicon-entry lookup, not audio →
+# spelling: the round-4 12k-step run hit seen-vocab WER 0.0 but novel-word
+# WER 1.05 (every out-of-lexicon word decoded to its nearest lexicon
+# neighbour). Mixing randomly generated Portuguese-orthography pseudo-words
+# into the stream makes spelling-by-phonetics in-distribution: the decoder
+# must compose graphemes it can hear, because most training words have never
+# appeared before and never will again. Ambiguous inverse spellings (s/c
+# before e,i; ss vs s; j vs g+e,i) stay ambiguous — the generator's natural
+# letter priors set the model's tie-breaks, which is the best any
+# grapheme-level transcriber can do.
+_PSEUDO_ONSETS: Tuple[str, ...] = (
+    "", "b", "c", "d", "f", "g", "j", "l", "m", "n", "p", "r", "s", "t",
+    "v", "z", "ch", "pr", "br", "tr", "dr", "cr", "gr", "fr", "pl", "cl",
+    "fl", "qu", "gu",
+)
+# nh/lh/rr/ss are orthographically word-internal only
+_PSEUDO_ONSETS_MID: Tuple[str, ...] = _PSEUDO_ONSETS + ("nh", "lh", "rr", "ss")
+_PSEUDO_NUCLEI: Tuple[str, ...] = (
+    "a", "a", "a", "e", "e", "e", "i", "i", "o", "o", "u",
+    "ei", "ou", "ai", "ia", "ua",
+)
+_PSEUDO_CODAS: Tuple[str, ...] = ("", "", "", "", "", "s", "r", "l", "m", "n")
+
+
+def random_word(rng: np.random.Generator) -> str:
+    """A fresh Portuguese-orthography pseudo-word: 2–4 (onset)V(coda)
+    syllables spelled exactly the way :func:`speech_synth.word_to_phones`
+    reads them, so the spelled word is a faithful transcription target for
+    its own rendering. qu/gu onsets are restricted to e/i nuclei (where the
+    u is orthographically silent — the only spellings of /k/,/g/ there)."""
+    while True:
+        n_syll = int(rng.integers(2, 5))
+        parts: List[str] = []
+        for s in range(n_syll):
+            onsets = _PSEUDO_ONSETS if s == 0 else _PSEUDO_ONSETS_MID
+            onset = str(onsets[int(rng.integers(0, len(onsets)))])
+            if onset in ("qu", "gu"):
+                nucleus = "e" if rng.uniform() < 0.5 else "i"
+            else:
+                nucleus = str(
+                    _PSEUDO_NUCLEI[int(rng.integers(0, len(_PSEUDO_NUCLEI)))]
+                )
+            coda = str(_PSEUDO_CODAS[int(rng.integers(0, len(_PSEUDO_CODAS)))])
+            parts.append(onset + nucleus + coda)
+        word = "".join(parts)
+        if word not in _NOVEL_SET:  # never leak the held-out eval words
+            return word
 
 
 def asr_config():
@@ -118,9 +170,19 @@ def make_tokenizer():
     return ByteLevelBPE(vocab_size=512, byte_offset=256)
 
 
-def sample_text(rng: np.random.Generator, pool: Sequence[str], max_bytes: int = 58) -> str:
+def sample_text(
+    rng: np.random.Generator,
+    pool: Sequence[str],
+    max_bytes: int = 58,
+    pseudo_frac: float = 0.0,
+) -> str:
     n = int(rng.integers(2, 5))
-    words = [str(pool[int(rng.integers(0, len(pool)))]) for _ in range(n)]
+    words = [
+        random_word(rng)
+        if pseudo_frac and rng.uniform() < pseudo_frac
+        else str(pool[int(rng.integers(0, len(pool)))])
+        for _ in range(n)
+    ]
     text = " ".join(words)
     while len(text.encode("utf-8")) > max_bytes and len(words) > 1:
         words.pop()
@@ -179,15 +241,17 @@ def stream_batch(
     batch: int,
     window: int,
     cfg,
+    pseudo_frac: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One FRESH training batch: per-clip knots (host, ~0.4 ms/clip) packed
     into ONE [B, D] buffer (speech_synth.pack_knots — the axon tunnel
     charges per-array upload latency) + byte targets. The waveforms are
     rendered on-device inside the jitted train step
-    (speech_synth.render_knots_batch)."""
+    (speech_synth.render_knots_batch). `pseudo_frac` of the words are fresh
+    :func:`random_word` pseudo-words (phonetic-compositionality signal)."""
     clips, texts = [], []
     for _ in range(batch):
-        text = sample_text(rng, pool)
+        text = sample_text(rng, pool, pseudo_frac=pseudo_frac)
         voice = random_voice(rng)
         clips.append(
             utterance_knots(rng, voice, text, window, prosody=_sample_prosody(rng))
@@ -302,6 +366,7 @@ def train(
     log_every: int = 500,
     cfg=None,
     eval_every: int = 2000,
+    pseudo_frac: float = 0.35,
 ):
     """AdamW + cosine decay over an endless fresh-clip stream: each step's
     batch is synthesized on-device from new host-built knots (new text,
@@ -370,7 +435,7 @@ def train(
 
     for i in range(steps):
         flat, tokens, n_real = stream_batch(
-            rng, tokenizer, TRAIN_WORDS, batch, window, cfg
+            rng, tokenizer, TRAIN_WORDS, batch, window, cfg, pseudo_frac=pseudo_frac
         )
         key, sk = jax.random.split(key)
         params, opt_state, loss = step_fn(
@@ -396,6 +461,10 @@ def train(
             m = evaluate(
                 model, params, cfg, np.random.default_rng(seed + 777), TRAIN_WORDS, n=16
             )
+            nov = evaluate(
+                model, params, cfg, np.random.default_rng(seed + 778), NOVEL_WORDS, n=16
+            )
+            m = {**m, "novel_wer": nov["wer"], "novel_exact": nov["exact"]}
             history["eval"].append({"step": i + 1, **m})
             logger.info("held-out probe @%d: %s", i + 1, m)
     drain(0)
