@@ -367,6 +367,7 @@ def train(
     cfg=None,
     eval_every: int = 2000,
     pseudo_frac: float = 0.35,
+    out_dir: Optional[str] = None,
 ):
     """AdamW + cosine decay over an endless fresh-clip stream: each step's
     batch is synthesized on-device from new host-built knots (new text,
@@ -467,6 +468,21 @@ def train(
             m = {**m, "novel_wer": nov["wer"], "novel_exact": nov["exact"]}
             history["eval"].append({"step": i + 1, **m})
             logger.info("held-out probe @%d: %s", i + 1, m)
+            # When a probe clears the serve bars with margin, record the FULL
+            # held-out eval and persist the passing checkpoint immediately —
+            # a run interrupted later still leaves a gated, shippable
+            # artifact. A strong pass ends the run early (the recorded
+            # metrics are re-measured on the saved params, so early exit
+            # cannot overstate quality).
+            if out_dir and m["wer"] < 0.2 and m["novel_wer"] < 0.8:
+                full = final_metrics(model, params, cfg, seed)
+                logger.info("probe passed — full eval: %s", full)
+                if full["wer"] < 0.25 and full["novel_wer"] < 0.85:
+                    save_asr(params, cfg, out_dir, metrics=full, history=history)
+                    logger.info("saved passing checkpoint @%d to %s", i + 1, out_dir)
+                    if full["wer"] < 0.1 and full["novel_wer"] < 0.7:
+                        logger.info("strong pass — stopping early @%d", i + 1)
+                        break
     drain(0)
     return model, params, history
 
@@ -544,6 +560,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    # reuse compiled graphs across retrains/restarts (the fused train step
+    # is a multi-minute compile on this host)
+    from msa_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.eval_only:
         loaded = load_asr(args.out)
         if loaded is None:
@@ -559,7 +581,8 @@ def main(argv=None):
         return 0
 
     model, params, history = train(
-        steps=args.steps, batch=args.batch, lr=args.lr, seed=args.seed
+        steps=args.steps, batch=args.batch, lr=args.lr, seed=args.seed,
+        out_dir=args.out,
     )
     cfg = model.cfg
     metrics = final_metrics(model, params, cfg, args.seed)

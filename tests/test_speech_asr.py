@@ -163,3 +163,39 @@ def test_make_clip_static_window():
     assert wav.dtype == np.float32
     assert 2 <= len(text.split()) <= 4
     assert len(text.encode("utf-8")) <= cfg.max_target_positions - 2
+
+
+def test_random_word_renderable_and_heldout_clean():
+    """Pseudo-words must be lowercase ASCII the synthesizer can render, never
+    a held-out NOVEL_WORDS entry (eval leakage), and sample_text's
+    pseudo_frac mixture must actually draw them."""
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        w = T.random_word(rng)
+        assert w == w.lower() and w.isascii(), w
+        assert w not in T.NOVEL_WORDS, w
+        assert len(S.word_to_phones(w)) >= 2, w
+    text = T.sample_text(rng, T.TRAIN_WORDS, pseudo_frac=1.0)
+    assert all(w not in T.TRAIN_WORDS for w in text.split()), text
+
+
+def test_probe_save_and_early_stop(tiny_asr_cfg, tmp_path, monkeypatch):
+    """A mid-training probe that clears the serve bars persists the full
+    gated artifact (params + config + eval.json + history.json) immediately,
+    and a strong pass ends the run early — an interrupted retrain still
+    leaves a shippable, recorded checkpoint."""
+    import json
+
+    def fake_eval(model, params, cfg, rng, pool, n=48):
+        return {"wer": 0.0, "exact": 1.0, "n": n}
+
+    monkeypatch.setattr(T, "evaluate", fake_eval)
+    model, params, history = T.train(
+        steps=6, batch=2, lr=1e-3, seed=0, log_every=0, cfg=tiny_asr_cfg,
+        eval_every=2, out_dir=str(tmp_path),
+    )
+    for name in ("params.msgpack", "config.json", "eval.json", "history.json"):
+        assert (tmp_path / name).exists(), name
+    rec = json.loads((tmp_path / "eval.json").read_text())
+    assert rec["wer"] == 0.0 and rec["novel_wer"] == 0.0
+    assert len(history["loss"]) < 6  # stopped at the first (passing) probe
