@@ -27,13 +27,13 @@ erased the whole round's record):
   re-prints a complete, enriched line — whichever line the driver keeps
   (first or last) is valid on its own.
 - The p50 device latency is measured UNCONDITIONALLY right after the
-  headline (its B=1 graph is the smallest compile in the set); then the e2e
-  ``process_video`` figure (the stage with the largest remaining compiles —
-  auto-sized batch + the shipped ASR's whisper graphs — so it must not sit
-  behind cheaper stages); then the honest streaming number
-  (`p50_process_segment_ms`, full host+device
-  StreamingProcessor.process_segment wall time); only then the
-  bucket-spectrum color.
+  headline (its B=1 graph is the smallest compile in the set); then the
+  honest streaming number (`p50_process_segment_ms`, full host+device
+  StreamingProcessor.process_segment wall time — reuses the graph p50 just
+  warmed, so it is the cheapest remaining stage); then the e2e
+  ``process_video`` figure (auto-sized batch + the shipped ASR's whisper
+  compiles, behind a permissive fixed gate — an overrun only costs later
+  stages, never the record); only then the bucket-spectrum color.
 - A wall-clock budget (``MSA_BENCH_BUDGET_S``, default 420 s) gates each
   optional stage; stages that don't fit are skipped and listed in
   ``"skipped"``.
@@ -62,7 +62,11 @@ import time
 import numpy as np
 
 T0 = time.perf_counter()
-BUDGET_S = float(os.environ.get("MSA_BENCH_BUDGET_S", "420"))
+# 660 s: round-3's driver record proves a ~700 s wall run completes with
+# rc=0 (BENCH_r03: elapsed 674.9 s, recorded), and emit-early + the SIGTERM
+# handler make even a timeout kill leave a complete last line in the tail —
+# so the budget errs toward measuring MORE stages, not toward exiting early.
+BUDGET_S = float(os.environ.get("MSA_BENCH_BUDGET_S", "660"))
 SEGMENT_SECONDS = 5.0
 TARGET_X_REALTIME = 50.0
 TOKEN_BUCKETS = (32, 128, 512)
@@ -359,14 +363,30 @@ def main() -> None:
     #    so 0.75× is a conservative estimate).
     est = max(30.0, 0.75 * shape_cost)
 
-    # e2e comes FIRST among the optional stages (VERDICT r3 missing #2/#3:
-    # 3 rounds, 0 driver e2e records): its warmup pass owns the processor's
-    # auto-sized batch compile plus — with the shipped ASR now resolving by
-    # default — the whisper mel+decode compiles, so it is the stage most
-    # likely to fall off the end of the budget. The gate is deliberately
-    # permissive: every _emit() already printed a complete record, so an
-    # overrun costs only the stages after it, never the record itself.
-    if _remaining() > max(est, 90.0):
+    # honest streaming-path latency comes right after p50: its device graph
+    # is the exact B=1/32-token graph p50 just warmed, so the only new
+    # compiles are tiny host-side models (~tens of seconds) — cheapest
+    # remaining stage by far, so it must not sit behind e2e's big compiles.
+    if not tiny and _remaining() > 60.0:
+        try:
+            sp50, sp90 = _p50_process_segment(models)
+            _record["p50_process_segment_ms"] = round(sp50, 2)
+            _record["p90_process_segment_ms"] = round(sp90, 2)
+            _emit()
+        except Exception as e:  # noqa: BLE001
+            skipped.append(f"p50seg:{type(e).__name__}")
+    elif not tiny:
+        skipped.append("p50seg:budget")
+
+    # e2e (VERDICT r3 missing #2/#3: 3 rounds, 0 driver e2e records): its
+    # warmup pass owns the processor's auto-sized batch compile plus — with
+    # the shipped ASR now resolving by default — the whisper mel+decode
+    # compiles. The gate is deliberately permissive (NOT est-scaled: est
+    # reflects the 512-token headline compile, much bigger than e2e's
+    # auto-sized B=16 graph): every _emit() already printed a complete
+    # record and the SIGTERM handler re-emits, so an overrun costs only the
+    # stages after it, never the record itself.
+    if _remaining() > 90.0:
         try:
             x_rt = _e2e_process_video(
                 models,
@@ -379,20 +399,6 @@ def main() -> None:
             skipped.append(f"e2e:{type(e).__name__}")
     else:
         skipped.append("e2e:budget")
-
-    # honest streaming-path latency: full process_segment wall time (host
-    # assembly + device + output build) — its device graph is the one p50
-    # just warmed, so the only new compiles are tiny host-side models.
-    if not tiny and _remaining() > min(est, 120.0):
-        try:
-            sp50, sp90 = _p50_process_segment(models)
-            _record["p50_process_segment_ms"] = round(sp50, 2)
-            _record["p90_process_segment_ms"] = round(sp90, 2)
-            _emit()
-        except Exception as e:  # noqa: BLE001
-            skipped.append(f"p50seg:{type(e).__name__}")
-    elif not tiny:
-        skipped.append("p50seg:budget")
 
     for tokens in rest:
         if _remaining() > est:

@@ -27,9 +27,10 @@ from msa_tpu.processors.offline import OfflineProcessor  # noqa: E402
 
 def main():
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
+    quantize = os.environ.get("MSA_QUANTIZE", "int8")
     t0 = time.perf_counter()
-    models = PipelineModels.initialize(seed=0, quantize="int8")
-    print(f"init {time.perf_counter() - t0:.1f}", flush=True)
+    models = PipelineModels.initialize(seed=0, quantize=quantize)
+    print(f"init {time.perf_counter() - t0:.1f} quantize={quantize}", flush=True)
 
     cfg = SystemConfig.from_env()
     cfg = dataclasses.replace(
