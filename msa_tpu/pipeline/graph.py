@@ -353,6 +353,72 @@ _BATCH_FIELDS = (
 )
 _CARRY_FIELDS = ("prev_landmarks", "has_prev")
 
+# --- host-fetch packing ------------------------------------------------------
+# Under the axon tunnel every fetched array is its own ~30 ms round trip
+# (measured round 4: an 8-leaf device_get cost 248 ms on a 60 s video where
+# the data itself is ~56 KB). The graph therefore concatenates EVERYTHING any
+# host consumer reads into ONE [B, 1715] f32 row per segment — offline's
+# result-dict columns (nan_to_num'd, matching the fusion inputs) AND the
+# streaming output-dict columns (the raw branch dicts) — so both processors
+# fetch exactly one array per batch. 841 duplicated f32 per row cost ~3 KB of
+# extra fetch bytes, i.e. microseconds, vs ~7 round trips saved.
+_PACK_FIELDS = (
+    ("fused", 7),
+    ("face27", 27),  # nan_to_num'd (offline *_vec / streaming fallback)
+    ("audio31", 31),
+    ("text783", 783),
+    ("face_probs_raw", 7),  # CANONICAL-order true probabilities
+    ("audio_probs_raw", 7),
+    ("text_probs_raw", 7),
+    ("combo", 1),  # modality bitmask as f32
+    ("s_face27", 27),  # pre-nan branch outputs (streaming dict contract)
+    ("s_face_quality", 4),
+    ("s_audio31", 31),
+    ("s_text783", 783),
+)
+PACK_WIDTH = sum(d for _, d in _PACK_FIELDS)
+_PACK_SLICES = {}
+_off = 0
+for _name, _d in _PACK_FIELDS:
+    _PACK_SLICES[_name] = slice(_off, _off + _d)
+    _off += _d
+
+
+def unpack_hostpack(pack: np.ndarray) -> Dict[str, np.ndarray]:
+    """Fetched ``out["hostpack"]`` [B, 1715] → named column views (no copy)."""
+    return {name: pack[:, sl] for name, sl in _PACK_SLICES.items()}
+
+
+def pack_stream_inputs(
+    frames_u8: np.ndarray,
+    audio_i16: np.ndarray,
+    token_ids: np.ndarray,
+    token_mask: np.ndarray,
+    face_avail: bool,
+    audio_avail: bool,
+    text_avail: bool,
+    completeness: float,
+    relevance: float,
+) -> np.ndarray:
+    """One uint8 host→device buffer for a B=1 streaming window — the inverse
+    of ``SegmentPipeline._stream_forward``'s bitcast unpacking. Layout:
+    frames u8 [S,S,3] | audio i16 [samples] | ids i32 [L] | mask i32 [L] |
+    f32 scalars (face_avail, audio_avail, text_avail, completeness,
+    relevance)."""
+    scalars = np.asarray(
+        [face_avail, audio_avail, text_avail, completeness, relevance],
+        np.float32,
+    )
+    return np.concatenate(
+        [
+            np.ascontiguousarray(frames_u8, np.uint8).reshape(-1),
+            np.ascontiguousarray(audio_i16, np.int16).view(np.uint8).reshape(-1),
+            np.ascontiguousarray(token_ids, np.int32).view(np.uint8).reshape(-1),
+            np.ascontiguousarray(token_mask, np.int32).view(np.uint8).reshape(-1),
+            scalars.view(np.uint8),
+        ]
+    )
+
 jax.tree_util.register_pytree_node(
     SegmentInputs,
     lambda s: (
@@ -417,8 +483,10 @@ class SegmentPipeline:
         self.config = config or SystemConfig()
         self.original_frame_hw = original_frame_hw
         self.mesh = mesh
+        self._weights_cache: Optional[Dict[str, float]] = None
         if mesh is None:
             self._jitted = jax.jit(self._forward)
+            self._jitted_stream = jax.jit(self._stream_forward)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -641,6 +709,25 @@ class SegmentPipeline:
         fused = jax.vmap(fuse)(f27, a31, t783, combo)
 
         new_carry = (face["landmarks"][-1], face["detected"][-1])
+        # the ONE-round-trip host fetch row (see _PACK_FIELDS): every column
+        # either processor reads, concatenated in layout order
+        hostpack = jnp.concatenate(
+            [
+                fused,
+                f27,
+                a31,
+                t783,
+                face["emotion_probs_raw"],
+                audio["emotion_probs_raw"],
+                text["emotion_probs_raw"],
+                combo[:, None].astype(jnp.float32),
+                face["face27"],
+                face["face_quality"].astype(jnp.float32),
+                audio["audio31"],
+                text["text783"],
+            ],
+            axis=-1,
+        )
         return {
             "face": face,
             "audio": audio,
@@ -650,6 +737,7 @@ class SegmentPipeline:
             "text783": t783,
             "combo": combo,
             "fused": fused,
+            "hostpack": hostpack,
         }, new_carry
 
     def run(self, inputs: SegmentInputs) -> Tuple[Dict[str, Any], Tuple[Any, Any]]:
@@ -657,11 +745,72 @@ class SegmentPipeline:
         last_detected)) — the carry for the next streaming window."""
         return self._jitted(self.models.params_tree(), inputs)
 
+    # --- packed B=1 streaming dispatch --------------------------------------
+    # Under the axon tunnel every uploaded array is its own ~10-25 ms round
+    # trip; a B=1 SegmentInputs pytree is 9 host leaves per window. The
+    # streaming path therefore ships the whole window as ONE uint8 buffer
+    # (frames u8 | audio i16 | ids i32 | mask i32 | 5 f32 scalars) and the
+    # graph bitcasts the regions back — one upload instead of nine. The
+    # landmark carry stays device-resident (zero upload after window 1).
+
+    def _stream_forward(self, params, packed, prev_landmarks, has_prev):
+        from jax import lax
+
+        s = self.models.landmark.cfg.frame_size
+        F = s * s * 3
+        samples = self.config.pipeline.segment_samples
+        A = 2 * samples
+        L = (packed.shape[0] - F - A - 20) // 8
+        frames = packed[:F].reshape(1, s, s, 3)
+        off = F
+        audio = lax.bitcast_convert_type(
+            packed[off : off + A].reshape(samples, 2), jnp.int16
+        ).reshape(1, samples)
+        off += A
+        ids = lax.bitcast_convert_type(
+            packed[off : off + 4 * L].reshape(L, 4), jnp.int32
+        ).reshape(1, L)
+        off += 4 * L
+        mask = lax.bitcast_convert_type(
+            packed[off : off + 4 * L].reshape(L, 4), jnp.int32
+        ).reshape(1, L)
+        off += 4 * L
+        sc = lax.bitcast_convert_type(
+            packed[off : off + 20].reshape(5, 4), jnp.float32
+        )
+        inp = SegmentInputs(
+            frames=frames,
+            audio=audio,
+            token_ids=ids,
+            token_mask=mask,
+            face_avail=sc[0:1] > 0.5,
+            audio_avail=sc[1:2] > 0.5,
+            text_avail=sc[2:3] > 0.5,
+            completeness=sc[3:4],
+            relevance=sc[4:5],
+            prev_landmarks=prev_landmarks,
+            has_prev=has_prev,
+        )
+        return self._forward(params, inp)
+
+    def run_stream(
+        self, packed: np.ndarray, prev_landmarks, has_prev
+    ) -> Tuple[Dict[str, Any], Tuple[Any, Any]]:
+        """Packed single-window dispatch (see :func:`pack_stream_inputs`).
+        The token bucket is inferred from the buffer length, so each bucket
+        is its own compiled shape exactly as with :meth:`run`."""
+        if self.mesh is not None:  # packed layout is a single-device path
+            raise RuntimeError("run_stream is single-device; use run()")
+        return self._jitted_stream(
+            self.models.params_tree(), packed, prev_landmarks, has_prev
+        )
+
     def warmup(
         self,
         batch_sizes: Tuple[int, ...] = (1,),
         token_buckets: Tuple[int, ...] = (32, 128, 512),
         samples: int = 80_000,
+        stream: bool = False,
     ) -> int:
         """Pre-compile the graph for every (batch, token-bucket) static shape
         so no live call hits a mid-stream compile stall (VERDICT r1 #5). Runs
@@ -683,20 +832,53 @@ class SegmentPipeline:
             )
         )
         n = 0
+        lc = self.models.landmark.cfg.landmark_count
+        s = self.models.landmark.cfg.frame_size
         for b in batch_sizes:
             for t in buckets:
-                # with a mesh, jit's declared in_shardings place these
-                # numpy inputs on the data axis automatically
-                inp = SegmentInputs.zeros(self.models, b, samples=samples, tokens=t)
-                out, _ = self._jitted(params, inp)
+                if stream and b == 1 and self.mesh is None:
+                    # warm the packed B=1 graph — the shape process_segment
+                    # actually dispatches
+                    packed = pack_stream_inputs(
+                        np.zeros((s, s, 3), np.uint8),
+                        np.zeros(samples, np.int16),
+                        np.zeros(t, np.int32),
+                        np.zeros(t, np.int32),
+                        True,
+                        True,
+                        True,
+                        0.0,
+                        0.0,
+                    )
+                    out, _ = self.run_stream(
+                        packed, np.zeros((lc, 3), np.float32), np.asarray(False)
+                    )
+                else:
+                    # with a mesh, jit's declared in_shardings place these
+                    # numpy inputs on the data axis automatically
+                    inp = SegmentInputs.zeros(
+                        self.models, b, samples=samples, tokens=t
+                    )
+                    out, _ = self._jitted(params, inp)
                 np.asarray(out["fused"])
                 n += 1
         return n
 
     def cache_size(self) -> int:
-        """Number of compiled shapes in the jit cache — lets tests assert
-        zero retraces after :meth:`warmup`."""
-        return self._jitted._cache_size()
+        """Number of compiled shapes across BOTH jit caches (pytree +
+        packed-stream dispatch) — lets tests assert zero retraces after
+        :meth:`warmup`."""
+        n = self._jitted._cache_size()
+        if self.mesh is None:
+            n += self._jitted_stream._cache_size()
+        return n
 
     def weights(self) -> Dict[str, float]:
-        return fusion_lib.get_weights(self.models.fusion, self.models.fusion_params)
+        # cached: inference params are frozen, and get_weights costs device
+        # round trips (softmax + float() fetches) — streaming used to pay
+        # them on EVERY window's output build
+        if self._weights_cache is None:
+            self._weights_cache = fusion_lib.get_weights(
+                self.models.fusion, self.models.fusion_params
+            )
+        return self._weights_cache

@@ -42,6 +42,7 @@ from msa_tpu.pipeline.graph import (
     SegmentInputs,
     SegmentPipeline,
     pad_segment_inputs,
+    unpack_hostpack,
 )
 
 logger = logging.getLogger(__name__)
@@ -364,20 +365,16 @@ class OfflineProcessor:
         for batch, transcripts, out in pending:
             b = len(batch)
             with self.timer.stage("fetch"):
-                fused, f27, a31, t783, fp, ap, tp, combo = jax.device_get(
-                    (
-                        out["fused"],
-                        out["face27"],
-                        out["audio31"],
-                        out["text783"],
-                        out["face"]["emotion_probs_raw"],
-                        out["audio"]["emotion_probs_raw"],
-                        out["text"]["emotion_probs_raw"],
-                        out["combo"],
-                    )
-                )
-                fused, f27, a31, t783 = fused[:b], f27[:b], a31[:b], t783[:b]
-                fp, ap, tp, combo = fp[:b], ap[:b], tp[:b], combo[:b]
+                # ONE array per batch: the graph concatenates every column
+                # the host reads into out["hostpack"] (pipeline/graph.py
+                # _PACK_FIELDS) — an 8-leaf device_get here measured 248 ms
+                # on the axon tunnel (~30 ms/leaf round trip) for ~56 KB of
+                # actual data; one leaf is ~30 ms total
+                cols = unpack_hostpack(jax.device_get(out["hostpack"])[:b])
+                fused, f27 = cols["fused"], cols["face27"]
+                a31, t783 = cols["audio31"], cols["text783"]
+                fp, ap = cols["face_probs_raw"], cols["audio_probs_raw"]
+                tp, combo = cols["text_probs_raw"], cols["combo"][:, 0]
             for i, seg in enumerate(batch):
                 fused_vec = fused[i]
                 if int(combo[i]) == 0:

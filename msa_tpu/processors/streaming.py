@@ -38,7 +38,13 @@ from msa_tpu.host.diarization import make_diarizer
 from msa_tpu.host.video import preprocess_frame
 from msa_tpu.models.text import completeness as text_completeness
 from msa_tpu.models.text import relevance as text_relevance
-from msa_tpu.pipeline.graph import PipelineModels, SegmentInputs, SegmentPipeline
+from msa_tpu.pipeline.graph import (
+    PipelineModels,
+    SegmentInputs,
+    SegmentPipeline,
+    pack_stream_inputs,
+    unpack_hostpack,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -213,6 +219,7 @@ class StreamingProcessor:
         self._prev_landmarks = np.zeros((lc, 3), np.float32)
         self._has_prev = np.asarray(False)
         self._pipeline_lock = threading.Lock()
+        self._use_packed = True  # one-buffer dispatch; falls back on failure
         self._warmup_thread: Optional[threading.Thread] = None
         if self.config.pipeline.should_precompile():
             # start compiling NOW, at construction, in the background: the
@@ -245,6 +252,7 @@ class StreamingProcessor:
                         batch_sizes=(1,),
                         token_buckets=(32, 128, 512),
                         samples=self.config.pipeline.segment_samples,
+                        stream=self._use_packed,
                     )
                     logger.info(
                         "precompiled %d graph shapes in %.1fs",
@@ -311,22 +319,64 @@ class StreamingProcessor:
                 (t for t in (32, 128, 512) if needed <= t <= token_cap), token_cap
             )
 
-            inp = SegmentInputs.zeros(self.models, 1, samples=samples, tokens=tokens)
-            inp.frames[0] = preprocess_frame(frame, size)
-            inp.audio[0] = fixed_window(waveform, samples)
-            inp.face_avail[0] = face_avail
-            inp.audio_avail[0] = audio_avail
-            inp.text_avail[0] = text_avail
+            frames_u8 = preprocess_frame(frame, size)
+            # raw PCM i16, padded/truncated to the static window — identical
+            # math to fixed_window(pcm16_bytes_to_float(...)): the device
+            # graph divides by the same 32768
+            pcm = np.frombuffer(audio_data, np.int16)[:samples]
+            if pcm.shape[0] < samples:
+                pcm = np.pad(pcm, (0, samples - pcm.shape[0]))
             if encoding is not None:
                 ids, mask = encoding
-                inp.token_ids[0] = ids[:tokens]
-                inp.token_mask[0] = mask[:tokens]
-                inp.completeness[0] = text_completeness(text)
-                inp.relevance[0] = text_relevance(text)
-            inp.prev_landmarks = self._prev_landmarks
-            inp.has_prev = self._has_prev
+                ids, mask = ids[:tokens], mask[:tokens]
+                completeness = text_completeness(text)
+                relevance = text_relevance(text)
+            else:
+                ids = np.zeros(tokens, np.int32)
+                mask = np.zeros(tokens, np.int32)
+                completeness = relevance = 0.0
 
-            out, carry = pipeline.run(inp)
+            if self._use_packed:
+                # ONE host→device upload per window (axon tunnel: each array
+                # is its own round trip; the pytree path ships 9)
+                packed = pack_stream_inputs(
+                    frames_u8,
+                    pcm,
+                    ids,
+                    mask,
+                    face_avail,
+                    audio_avail,
+                    text_avail,
+                    completeness,
+                    relevance,
+                )
+                try:
+                    out, carry = pipeline.run_stream(
+                        packed, self._prev_landmarks, self._has_prev
+                    )
+                except Exception as e:  # pragma: no cover - backend-specific
+                    logger.warning(
+                        "packed dispatch failed (%s); falling back to pytree",
+                        e,
+                    )
+                    self._use_packed = False
+            if not self._use_packed:
+                inp = SegmentInputs.zeros(
+                    self.models, 1, samples=samples, tokens=tokens
+                )
+                inp.frames[0] = frames_u8
+                inp.audio[0] = fixed_window(waveform, samples)
+                inp.face_avail[0] = face_avail
+                inp.audio_avail[0] = audio_avail
+                inp.text_avail[0] = text_avail
+                if encoding is not None:
+                    inp.token_ids[0] = ids
+                    inp.token_mask[0] = mask
+                    inp.completeness[0] = completeness
+                    inp.relevance[0] = relevance
+                inp.prev_landmarks = self._prev_landmarks
+                inp.has_prev = self._has_prev
+                out, carry = pipeline.run(inp)
             # the movement carry stays ON DEVICE: the next window's dispatch
             # chains on these values without a host round trip (the offline
             # path has worked this way since round 1)
@@ -339,34 +389,6 @@ class StreamingProcessor:
         except Exception as e:
             logger.error("segment processing failed: %s", e, exc_info=True)
             return dict(EMPTY_STREAMING_OUTPUT)
-
-    _FACE_KEYS = (
-        "emotion_probs",
-        "micro_expressions",
-        "gaze_direction",
-        "muscle_tension",
-        "movement_patterns",
-        "face_position",
-        "face_quality",
-    )
-    _AUDIO_KEYS = (
-        "emotion_probs",
-        "pitch",
-        "intensity",
-        "timbre",
-        "speech_rate",
-        "rhythm",
-        "audio_quality",
-    )
-    _TEXT_KEYS = (
-        "emotion_probs",
-        "sarcasm_score",
-        "humor_score",
-        "polarity",
-        "intensity",
-        "context_embedding",
-        "text_quality",
-    )
 
     def _build_output(self, out, face_avail, audio_avail, text_avail, speaker_id):
         import jax
@@ -386,35 +408,23 @@ class StreamingProcessor:
             else None
         )
 
-        # ONE batched device fetch of exactly the fields this window's output
-        # needs — under the axon tunnel every separate np.asarray is its own
-        # round trip (~20 of them before; the offline path learned this in
-        # round 1, VERDICT r2 #8 brought streaming in line)
-        fetch = {
-            "face": {k: out["face"][k] for k in self._FACE_KEYS}
-            if face_avail
-            else None,
-            "audio": {k: out["audio"][k] for k in self._AUDIO_KEYS}
-            if audio_avail
-            else None,
-            "text": {k: out["text"][k] for k in self._TEXT_KEYS}
-            if text_avail
-            else None,
-            "fused": out[fused_key] if fused_key else None,
-        }
-        host = jax.device_get(fetch)
+        # ONE device fetch of ONE array: the graph packs every column any
+        # host consumer reads into out["hostpack"] (pipeline/graph.py
+        # _PACK_FIELDS). A multi-leaf device_get costs ~30 ms per leaf on
+        # the axon tunnel; this window needs up to 22 fields.
+        cols = unpack_hostpack(jax.device_get(out["hostpack"]))
 
         face = None
         if face_avail:
-            f = host["face"]
-            pos, q = f["face_position"][0], f["face_quality"][0]
+            f27, q = cols["s_face27"][0], cols["s_face_quality"][0]
+            pos = f27[23:27]
             face = FaceAnalysis(
                 speaker_id=speaker_id,
-                emotion_probs=f["emotion_probs"][0],
-                micro_expressions=f["micro_expressions"][0],
-                gaze_direction=f["gaze_direction"][0],
-                muscle_tension=f["muscle_tension"][0],
-                movement_patterns=f["movement_patterns"][0],
+                emotion_probs=f27[0:7],
+                micro_expressions=f27[7:12],
+                gaze_direction=f27[12:15],
+                muscle_tension=f27[15:19],
+                movement_patterns=f27[19:23],
                 face_position={
                     "x": int(pos[0]),
                     "y": int(pos[1]),
@@ -428,16 +438,16 @@ class StreamingProcessor:
             )
         audio = None
         if audio_avail:
-            a = host["audio"]
-            q = a["audio_quality"][0]
+            a31 = cols["s_audio31"][0]
+            q = a31[27:31]
             audio = AudioAnalysis(
                 speaker_id=speaker_id,
-                emotion_probs=a["emotion_probs"][0],
-                pitch=a["pitch"][0],
-                intensity=a["intensity"][0],
-                timbre=a["timbre"][0],
-                speech_rate=a["speech_rate"][0],
-                rhythm=a["rhythm"][0],
+                emotion_probs=a31[0:8],
+                pitch=a31[8:9],
+                intensity=a31[9:10],
+                timbre=a31[10:23],
+                speech_rate=a31[23:24],
+                rhythm=a31[24:27],
                 audio_quality=float(q[0]),
                 signal_noise_ratio=float(q[1]),
                 clarity=float(q[2]),
@@ -445,23 +455,23 @@ class StreamingProcessor:
             )
         text = None
         if text_avail:
-            t = host["text"]
-            q = t["text_quality"][0]
+            t783 = cols["s_text783"][0]
+            q = t783[779:783]
             text = TextAnalysis(
                 speaker_id=speaker_id,
-                emotion_probs=t["emotion_probs"][0],
-                sarcasm_score=t["sarcasm_score"][0],
-                humor_score=t["humor_score"][0],
-                polarity=t["polarity"][0],
-                intensity=t["intensity"][0],
-                context_embedding=t["context_embedding"][0],
+                emotion_probs=t783[0:7],
+                sarcasm_score=t783[7:8],
+                humor_score=t783[8:9],
+                polarity=t783[9:10],
+                intensity=t783[10:11],
+                context_embedding=t783[11:779],
                 text_quality=float(q[0]),
                 coherence=float(q[1]),
                 completeness=float(q[2]),
                 relevance=float(q[3]),
             )
 
-        fused_vector = host["fused"][0] if fused_key else None
+        fused_vector = cols[fused_key][0] if fused_key else None
 
         weights = self._pipeline.weights() if self._pipeline else None
         return build_streaming_output(

@@ -82,10 +82,13 @@ def test_streaming_survives_pipeline_crash(tmp_path, tiny_models, monkeypatch):
     )
     from msa_tpu.pipeline.graph import SegmentPipeline
 
-    def boom(self, inputs):
+    def boom(self, *args):
         raise RuntimeError("device graph exploded")
 
+    # both dispatch entry points (packed stream + pytree fallback) hit the
+    # same device graph, so a real device failure raises from either
     monkeypatch.setattr(SegmentPipeline, "run", boom)
+    monkeypatch.setattr(SegmentPipeline, "run_stream", boom)
     frame = np.zeros((48, 64, 3), np.uint8)
     audio = SyntheticAudioSource(chunk_seconds=0.25).drain()
     out = proc.process_segment([frame], audio, "")

@@ -218,3 +218,78 @@ def test_parity_mode_pallas_f32_matches_einsum_end_to_end(tiny_models, inputs):
         np.testing.assert_allclose(
             np.asarray(out_ref[k]), np.asarray(out_par[k]), atol=1e-3, err_msg=k
         )
+
+
+def test_hostpack_columns_match_dict_fields(pipeline, inputs):
+    """out["hostpack"] is the ONE-fetch contract: every column must equal
+    the dict field it mirrors (pipeline/graph.py _PACK_FIELDS)."""
+    from msa_tpu.pipeline.graph import unpack_hostpack
+
+    out, _ = pipeline.run(inputs)
+    cols = unpack_hostpack(np.asarray(out["hostpack"]))
+    expect = {
+        "fused": out["fused"],
+        "face27": out["face27"],
+        "audio31": out["audio31"],
+        "text783": out["text783"],
+        "face_probs_raw": out["face"]["emotion_probs_raw"],
+        "audio_probs_raw": out["audio"]["emotion_probs_raw"],
+        "text_probs_raw": out["text"]["emotion_probs_raw"],
+        "s_face27": out["face"]["face27"],
+        "s_face_quality": out["face"]["face_quality"],
+        "s_audio31": out["audio"]["audio31"],
+        "s_text783": out["text"]["text783"],
+    }
+    for name, ref in expect.items():
+        np.testing.assert_array_equal(
+            cols[name], np.asarray(ref, np.float32), err_msg=name
+        )
+    np.testing.assert_array_equal(
+        cols["combo"][:, 0], np.asarray(out["combo"], np.float32)
+    )
+
+
+def test_packed_stream_dispatch_matches_pytree(tiny_models):
+    """run_stream's one-buffer bitcast unpacking must reproduce the pytree
+    dispatch bit-for-bit: same graph, same values (the i16 audio region is
+    divided by the same 32768 the host float path uses)."""
+    import dataclasses as dc
+
+    from msa_tpu.core.config import SystemConfig
+    from msa_tpu.pipeline.graph import pack_stream_inputs
+
+    cfg = SystemConfig()
+    cfg = dc.replace(
+        cfg, pipeline=dc.replace(cfg.pipeline, segment_samples=SAMPLES)
+    )
+    pipe = SegmentPipeline(tiny_models, config=cfg, original_frame_hw=(480, 640))
+    rng = np.random.default_rng(7)
+    s = tiny_models.landmark.cfg.frame_size
+    frames_u8 = rng.integers(0, 255, size=(s, s, 3), dtype=np.uint8)
+    pcm = rng.integers(-3000, 3000, size=SAMPLES).astype(np.int16)
+    ids = rng.integers(0, tiny_models.text.cfg.vocab_size, size=TOKENS).astype(
+        np.int32
+    )
+    mask = np.ones(TOKENS, np.int32)
+
+    inp = SegmentInputs.zeros(tiny_models, 1, samples=SAMPLES, tokens=TOKENS)
+    inp.frames[0] = frames_u8
+    inp.audio = pcm[None]  # i16 path, same dtype the packed buffer ships
+    inp.token_ids[0] = ids
+    inp.token_mask[0] = mask
+    inp.completeness[0] = 0.4
+    inp.relevance[0] = 0.7
+    out_ref, carry_ref = pipe.run(inp)
+
+    packed = pack_stream_inputs(
+        frames_u8, pcm, ids, mask, True, True, True, 0.4, 0.7
+    )
+    lc = tiny_models.landmark.cfg.landmark_count
+    out_pk, carry_pk = pipe.run_stream(
+        packed, np.zeros((lc, 3), np.float32), np.asarray(False)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_ref["hostpack"]), np.asarray(out_pk["hostpack"])
+    )
+    np.testing.assert_array_equal(np.asarray(carry_ref[0]), np.asarray(carry_pk[0]))
+    np.testing.assert_array_equal(np.asarray(carry_ref[1]), np.asarray(carry_pk[1]))
