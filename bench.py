@@ -158,16 +158,18 @@ def _throughput(pipeline, inp, batch: int, iters: int, warmup: int) -> float:
 
     inp = jax.device_put(inp)
     for _ in range(warmup):
-        out, _ = pipeline.run(inp)
+        out, _ = pipeline.run_host(inp)
         # NOTE: under the axon tunnel block_until_ready returns before the
         # computation finishes; a host fetch is the only true sync, so all
-        # timing below is fetch-based.
-        np.asarray(out["fused"])
+        # timing below is fetch-based. run_host is the production serving
+        # graph (5 output leaves instead of ~39 — each leaf mints a buffer
+        # handle per dispatch under the tunnel).
+        np.asarray(out["hostpack"])
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out, _ = pipeline.run(inp)
-    np.asarray(out["fused"])  # forces completion of the whole in-order queue
+        out, _ = pipeline.run_host(inp)
+    np.asarray(out["hostpack"])  # forces completion of the whole in-order queue
     dt = time.perf_counter() - t0
     return batch * iters / dt * SEGMENT_SECONDS
 
@@ -182,14 +184,14 @@ def _p50_latency(pipeline, models, tokens: int = 32) -> tuple[float, float]:
 
     lat_inp = jax.device_put(_make_inputs(models, 1, tokens))
     for _ in range(2):
-        out, _ = pipeline.run(lat_inp)
-        np.asarray(out["fused"])
+        out, _ = pipeline.run_host(lat_inp)
+        np.asarray(out["hostpack"])
     time.sleep(1.0)  # let the in-order device queue fully drain
     lats = []
     for _ in range(100):
         t0 = time.perf_counter()
-        out, _ = pipeline.run(lat_inp)
-        np.asarray(out["fused"])
+        out, _ = pipeline.run_host(lat_inp)
+        np.asarray(out["hostpack"])
         lats.append((time.perf_counter() - t0) * 1000.0)
     return float(np.percentile(lats, 50)), float(np.percentile(lats, 90))
 

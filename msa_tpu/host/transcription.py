@@ -94,17 +94,27 @@ class JaxWhisperTranscriber:
         self.tokenizer = tokenizer
         self.max_len = min(max_len, self.cfg.max_target_positions)
 
-        def _decode(params, mel):
-            return self.model.apply(
-                {"params": params}, mel, self.max_len, method=W.WhisperModel.greedy_decode
+        def _graph(params, waves_i16):
+            # ONE fused dispatch: i16→f32 scale (half the upload bytes of
+            # f32 — the [16, 80k] f32 batch alone was ~5 MB through the
+            # ~76 MB/s axon tunnel), mel, KV-cached greedy decode, and the
+            # tokens+lengths packed into ONE [B, max_len+1] i32 fetch.
+            # Separate mel/decode jits cost two dispatch round trips and a
+            # two-leaf fetch per chunk.
+            waves = waves_i16.astype(jnp.float32) / 32768.0
+            mel = jax.vmap(self._mel_of_padded)(waves)
+            tokens, lengths = self.model.apply(
+                {"params": params},
+                mel,
+                self.max_len,
+                method=W.WhisperModel.greedy_decode,
+            )
+            return jnp.concatenate(
+                [tokens.astype(jnp.int32), lengths.astype(jnp.int32)[:, None]],
+                axis=1,
             )
 
-        self._decode = jax.jit(_decode)
-
-        def _mel_batch(waves):
-            return jax.vmap(self._mel_of_padded)(waves)
-
-        self._mel_batch = jax.jit(_mel_batch)
+        self._graph = jax.jit(_graph)
         self._jnp = jnp
 
     def _pad_waveform(self, waveform) -> "np.ndarray":
@@ -112,14 +122,18 @@ class JaxWhisperTranscriber:
         for the published configs) before the mel, so padded frames carry the
         normalized-silence value — zero-padding the normalized log-mel
         instead would make pretrained encoders attend over wrongly-valued
-        pad frames (round-1 advisor finding)."""
+        pad frames (round-1 advisor finding). Returned as int16 PCM: half
+        the host→device bytes; the graph rescales with the same 32768 the
+        float path divides by (PCM-origin waveforms round-trip exactly)."""
         from msa_tpu.models.whisper import window_samples
 
         n_samples = window_samples(self.cfg)
         x = np.asarray(waveform, np.float32)
         if x.shape[0] < n_samples:
-            return np.pad(x, (0, n_samples - x.shape[0]))
-        return x[:n_samples]
+            x = np.pad(x, (0, n_samples - x.shape[0]))
+        else:
+            x = x[:n_samples]
+        return np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
 
     def _mel_of_padded(self, x):
         """Log-mel of ONE window-padded waveform → [frames, n_mels]; the
@@ -129,30 +143,25 @@ class JaxWhisperTranscriber:
 
         return log_mel_window(x, self.cfg)
 
-    def _log_mel(self, waveform, sample_rate):
-        return np.asarray(self._mel_batch(self._pad_waveform(waveform)[None]))
-
-    def _decode_to_text(self, tokens, lengths, count: int) -> "list[str]":
-        import jax
-
-        tokens, lengths = jax.device_get((tokens, lengths))
+    def _run_graph(self, waves_i16: "np.ndarray", count: int) -> "list[str]":
+        """Dispatch the fused mel+decode graph and detokenize ``count`` rows
+        from the single packed [B, max_len+1] fetch."""
+        packed = np.asarray(self._graph(self.params, waves_i16))
         out = []
         for row in range(count):
-            ids = [int(t) for t in tokens[row][: int(lengths[row])]]
+            ids = [int(t) for t in packed[row][: int(packed[row, -1])]]
             out.append(self.tokenizer.decode(ids) if self.tokenizer else "")
         return out
 
     def transcribe(self, waveform, sample_rate: int) -> str:
         try:
-            mel = self._log_mel(waveform, sample_rate)
-            tokens, lengths = self._decode(self.params, mel)
-            return self._decode_to_text(tokens, lengths, 1)[0]
+            return self._run_graph(self._pad_waveform(waveform)[None], 1)[0]
         except Exception:
             return ""
 
     def transcribe_batch(self, waveforms, sample_rate: int) -> "list[str]":
-        """Batched transcription: ONE mel batch + ONE KV-cached decode scan
-        per ``_BATCH`` clips, instead of B sequential 1-element decodes — the
+        """Batched transcription: ONE fused mel+decode dispatch per
+        ``_BATCH`` clips, instead of B sequential 1-element decodes — the
         TPU-native shape for offline segment ASR (VERDICT r2 #7). Lists pad
         to the fixed ``_BATCH`` so exactly one extra graph shape compiles.
         Per-clip failures degrade to "" without poisoning the batch."""
@@ -165,9 +174,7 @@ class JaxWhisperTranscriber:
                     waves = np.pad(
                         waves, [(0, self._BATCH - len(chunk)), (0, 0)]
                     )
-                mel = self._mel_batch(waves)
-                tokens, lengths = self._decode(self.params, mel)
-                out.extend(self._decode_to_text(tokens, lengths, len(chunk)))
+                out.extend(self._run_graph(waves, len(chunk)))
             except Exception:
                 out.extend([""] * len(chunk))
         return out

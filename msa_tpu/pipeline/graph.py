@@ -486,6 +486,7 @@ class SegmentPipeline:
         self._weights_cache: Optional[Dict[str, float]] = None
         if mesh is None:
             self._jitted = jax.jit(self._forward)
+            self._jitted_host = jax.jit(self._forward_host)
             self._jitted_stream = jax.jit(self._stream_forward)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -509,6 +510,9 @@ class SegmentPipeline:
             )
             self._jitted = jax.jit(
                 self._forward, in_shardings=(params_sh, inputs_sh)
+            )
+            self._jitted_host = jax.jit(
+                self._forward_host, in_shardings=(params_sh, inputs_sh)
             )
 
     # --- modality branches -------------------------------------------------
@@ -745,6 +749,27 @@ class SegmentPipeline:
         last_detected)) — the carry for the next streaming window."""
         return self._jitted(self.models.params_tree(), inputs)
 
+    def _forward_host(self, params, inputs: SegmentInputs):
+        """The production serving graph: identical compute to
+        :meth:`_forward`, but only the leaves a host consumer reads —
+        ``hostpack`` plus the landmark/detected rows the offline carry
+        slices. The full ~39-leaf output dict costs real per-dispatch time
+        under the axon tunnel (every output leaf mints a buffer handle);
+        5 leaves keep dispatch overhead off the latency path."""
+        out, carry = self._forward(params, inputs)
+        slim = {
+            "hostpack": out["hostpack"],
+            "landmarks": out["face"]["landmarks"],
+            "detected": out["face"]["detected"],
+        }
+        return slim, carry
+
+    def run_host(
+        self, inputs: SegmentInputs
+    ) -> Tuple[Dict[str, Any], Tuple[Any, Any]]:
+        """Slim serving dispatch (see :meth:`_forward_host`)."""
+        return self._jitted_host(self.models.params_tree(), inputs)
+
     # --- packed B=1 streaming dispatch --------------------------------------
     # Under the axon tunnel every uploaded array is its own ~10-25 ms round
     # trip; a B=1 SegmentInputs pytree is 9 host leaves per window. The
@@ -791,7 +816,7 @@ class SegmentPipeline:
             prev_landmarks=prev_landmarks,
             has_prev=has_prev,
         )
-        return self._forward(params, inp)
+        return self._forward_host(params, inp)
 
     def run_stream(
         self, packed: np.ndarray, prev_landmarks, has_prev
@@ -855,20 +880,21 @@ class SegmentPipeline:
                     )
                 else:
                     # with a mesh, jit's declared in_shardings place these
-                    # numpy inputs on the data axis automatically
+                    # numpy inputs on the data axis automatically; the slim
+                    # host graph is the one the processors dispatch
                     inp = SegmentInputs.zeros(
                         self.models, b, samples=samples, tokens=t
                     )
-                    out, _ = self._jitted(params, inp)
-                np.asarray(out["fused"])
+                    out, _ = self._jitted_host(params, inp)
+                np.asarray(out["hostpack"])
                 n += 1
         return n
 
     def cache_size(self) -> int:
-        """Number of compiled shapes across BOTH jit caches (pytree +
-        packed-stream dispatch) — lets tests assert zero retraces after
-        :meth:`warmup`."""
-        n = self._jitted._cache_size()
+        """Number of compiled shapes across ALL jit caches (full graph +
+        slim host graph + packed-stream dispatch) — lets tests assert zero
+        retraces after :meth:`warmup`."""
+        n = self._jitted._cache_size() + self._jitted_host._cache_size()
         if self.mesh is None:
             n += self._jitted_stream._cache_size()
         return n

@@ -345,14 +345,14 @@ class OfflineProcessor:
                     inp, n_data, to=video_padded
                 )
                 with self.timer.stage("dispatch"):
-                    out, _carry = pipeline.run(inp_padded)
+                    out, _carry = pipeline.run_host(inp_padded)
                 # The movement carry stays ON DEVICE: the next batch's dispatch
                 # chains on these values without a host round trip, so host prep
                 # of batch k+1 (decode/tokenize/windows) overlaps device compute
                 # of batch k. Padded dummy rows must not feed the history, hence
                 # the slice at the last REAL row.
-                prev_landmarks = out["face"]["landmarks"][real - 1]
-                has_prev = out["face"]["detected"][real - 1]
+                prev_landmarks = out["landmarks"][real - 1]
+                has_prev = out["detected"][real - 1]
                 pending.append((batch, transcripts, out))
                 if on_progress:
                     on_progress(0.5 * min((lo + b) / n, 1.0))
