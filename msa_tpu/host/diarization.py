@@ -354,6 +354,51 @@ class NeuralDiarizer:
         return segments
 
 
+class PyannoteDiarizer:
+    """Adapter over pyannote.audio's pretrained pipeline — the reference's
+    actual diarizer (reference ``offline_processor.py:62-66``, ``:96-116``),
+    behind the same :class:`Diarizer` protocol as the in-repo
+    implementations. Requires the ``pyannote.audio`` dependency and
+    downloadable weights; :func:`make_diarizer` degrades to the shipped
+    :class:`NeuralDiarizer` when either is missing, mirroring
+    ``make_transcriber``'s HF-adapter symmetry.
+
+    ``pipeline`` may be a prebuilt pyannote Pipeline object (used by tests
+    to exercise the output-contract conversion without the dependency)."""
+
+    def __init__(self, model: str = "pyannote/speaker-diarization",
+                 hf_token: str | None = None, pipeline=None):
+        if pipeline is None:
+            from pyannote.audio import Pipeline  # type: ignore
+
+            if hf_token is None:
+                import os
+
+                hf_token = os.environ.get("HF_TOKEN") or None
+            pipeline = Pipeline.from_pretrained(model, use_auth_token=hf_token)
+        self._pipe = pipeline
+
+    def diarize(self, waveform: np.ndarray, sample_rate: int) -> List[Dict]:
+        import torch
+
+        annotation = self._pipe(
+            {
+                "waveform": torch.from_numpy(
+                    np.asarray(waveform, np.float32)[None]
+                ),
+                "sample_rate": sample_rate,
+            }
+        )
+        # exact reference conversion (offline_processor.py:108-116)
+        return sorted(
+            (
+                {"start": float(t.start), "end": float(t.end), "speaker": spk}
+                for t, _, spk in annotation.itertracks(yield_label=True)
+            ),
+            key=lambda s: s["start"],
+        )
+
+
 def make_diarizer(name: str, processing_config, diarization_config=None) -> Diarizer:
     """Factory keyed by DiarizationConfig.model."""
     if name in ("neural", "speaker-embedding"):
@@ -410,29 +455,14 @@ def make_diarizer(name: str, processing_config, diarization_config=None) -> Diar
         )
     if name.startswith("pyannote"):
         try:
-            from pyannote.audio import Pipeline  # type: ignore
-
-            class _PyannoteAdapter:
-                def __init__(self):
-                    self._pipe = Pipeline.from_pretrained(name)
-
-                def diarize(self, waveform, sample_rate):
-                    import torch
-
-                    d = self._pipe(
-                        {
-                            "waveform": torch.from_numpy(waveform[None]),
-                            "sample_rate": sample_rate,
-                        }
-                    )
-                    return [
-                        {"start": t.start, "end": t.end, "speaker": spk}
-                        for t, _, spk in d.itertracks(yield_label=True)
-                    ]
-
-            return _PyannoteAdapter()
-        except ImportError:
-            pass  # degrade to the deterministic fallback
+            return PyannoteDiarizer(name)
+        except Exception:
+            # dependency or weights unavailable → the shipped neural
+            # diarizer (same drop-in symmetry as make_transcriber: the
+            # in-repo model serves when the reference's pretrained one
+            # can't) — it re-enters the factory under its own name so the
+            # checkpoint-or-clustering resolution above applies unchanged
+            return make_diarizer("neural", processing_config, diarization_config)
     return EnergyVADDiarizer(
         segment_duration=processing_config.segment_duration,
         min_speech_duration=processing_config.min_speech_duration,

