@@ -183,9 +183,29 @@ class OfflineProcessor:
             audio_avail = audio is not None
             waveform = audio[0] if audio_avail else np.zeros(0, np.float32)
 
+            label_future = None
             if audio_avail and len(waveform) > 0:
-                with self.timer.stage("diarize"):
-                    segments = self.diarizer.diarize(waveform, sr)
+                if hasattr(self.diarizer, "segment_boundaries") and hasattr(
+                    self.diarizer, "label_segments"
+                ):
+                    # two-phase diarization: boundaries (host VAD) now —
+                    # they are all the batch loop needs — speaker LABELING
+                    # (device embed + clustering) runs concurrently with
+                    # video decode and is joined before the results phase,
+                    # taking its round trip off the e2e critical path
+                    import concurrent.futures as _cf
+
+                    with self.timer.stage("diarize"):
+                        segments = self.diarizer.segment_boundaries(waveform, sr)
+                    if segments:
+                        label_pool = _cf.ThreadPoolExecutor(max_workers=1)
+                        label_future = label_pool.submit(
+                            self.diarizer.label_segments, waveform, segments, sr
+                        )
+                        label_pool.shutdown(wait=False)
+                else:
+                    with self.timer.stage("diarize"):
+                        segments = self.diarizer.diarize(waveform, sr)
                 if not segments:
                     # diarizer found no speech turns; still analyze the video
                     # in fixed windows (degradation contract — never return
@@ -300,6 +320,11 @@ class OfflineProcessor:
                     frames = frames_future.result()
                 if bi + 1 < len(batch_ranges):
                     frames_future = decode_pool.submit(_decode, batch_ranges[bi + 1])
+                # preprocess frames BEFORE collecting transcripts: host
+                # resize/convert time gives the whisper decode a little more
+                # room to finish before its fetch blocks
+                with self.timer.stage("frame_preprocess"):
+                    pre_frames = [preprocess_frame(f, size) for f in frames]
 
                 # 4) collect transcripts (fetch) — or the sequential
                 # fallback for transcribers without the async API
@@ -372,7 +397,7 @@ class OfflineProcessor:
                         # still fused 3-way, text_analyzer.py:66-68)
                         inp.text_avail[i] = False
                 for i in range(b):
-                    inp.frames[i] = preprocess_frame(frames[i], size)
+                    inp.frames[i] = pre_frames[i]
                 inp.prev_landmarks = prev_landmarks
                 inp.has_prev = has_prev
 
@@ -402,6 +427,17 @@ class OfflineProcessor:
                 if on_progress:
                     on_progress(0.5 * min((lo + b) / n, 1.0))
             decode_pool.shutdown(wait=True)
+
+        # join the overlapped speaker labeling BEFORE results are read: the
+        # segment dicts' "speaker" fields are assigned in-place by phase 2
+        if label_future is not None:
+            with self.timer.stage("diarize_label_wait"):
+                try:
+                    label_future.result()
+                except Exception as e:
+                    # labels stay at the VAD placeholder — same degradation
+                    # as a failing clustering pass
+                    logger.warning("speaker labeling failed: %s", e)
 
         # fetch phase: collect the overlapped fetches in dispatch order
         try:

@@ -139,27 +139,35 @@ def random_word(rng: np.random.Generator) -> str:
             return word
 
 
-def asr_config():
-    """The shipped transcriber architecture: a 3+3-layer, d=256 Whisper over
-    the pipeline's 5 s / 16 kHz segment window (max_source 250 encoder
-    positions = 500 mel frames = 80 000 samples — the same static window the
-    segment pipeline uses, so `_pad_waveform` costs nothing extra). Sized up
-    from round 3's 2+2/d=192 per VERDICT r3 #1 — with the on-the-fly stream
-    capacity, not data, bounds quality."""
+def asr_config(size: str = "base"):
+    """The shipped transcriber architecture over the pipeline's 5 s / 16 kHz
+    segment window (max_source 250 encoder positions = 500 mel frames =
+    80 000 samples — the same static window the segment pipeline uses, so
+    `_pad_waveform` costs nothing extra).
+
+    ``base`` is round 4's shipped 3+3/d=256 (sized up from round 3's
+    2+2/d=192 per VERDICT r3 #1). ``large`` is round 5's 4+4/d=384 —
+    round 4 measured novel-word WER 0.486 at base size with the
+    pseudo-word recipe already working (held-out WER 0.016), i.e. phonetic
+    spelling was capacity-short, not signal-short (VERDICT r4 #3)."""
     from msa_tpu.models.whisper import WhisperConfig
 
-    return WhisperConfig(
+    common = dict(
         n_mels=80,
-        d_model=256,
-        encoder_layers=3,
-        decoder_layers=3,
-        num_heads=4,
-        d_ff=1024,
         vocab_size=512,
         max_source_positions=250,
         max_target_positions=64,
         eos_token_id=1,
         decoder_start_token_id=2,
+    )
+    if size == "large":
+        return WhisperConfig(
+            d_model=384, encoder_layers=4, decoder_layers=4, num_heads=6,
+            d_ff=1536, **common,
+        )
+    return WhisperConfig(
+        d_model=256, encoder_layers=3, decoder_layers=3, num_heads=4,
+        d_ff=1024, **common,
     )
 
 
@@ -428,6 +436,7 @@ def train(
     history = {"loss": [], "eval": []}
     pending: List = []  # (step, device-loss) — fetched a few steps behind
     depth = 4
+    best_novel = float("inf")  # best SAVED novel-word WER this run
 
     def drain(to_len: int) -> None:
         while len(pending) > to_len:
@@ -469,18 +478,23 @@ def train(
             history["eval"].append({"step": i + 1, **m})
             logger.info("held-out probe @%d: %s", i + 1, m)
             # When a probe clears the serve bars with margin, record the FULL
-            # held-out eval and persist the passing checkpoint immediately —
-            # a run interrupted later still leaves a gated, shippable
-            # artifact. A strong pass ends the run early (the recorded
-            # metrics are re-measured on the saved params, so early exit
-            # cannot overstate quality).
-            if out_dir and m["wer"] < 0.2 and m["novel_wer"] < 0.8:
+            # held-out eval and persist the checkpoint IF it improves on the
+            # best saved novel-word WER — a run interrupted later still
+            # leaves the best gated, shippable artifact, and a later noisy
+            # probe can't overwrite a better save. A strong pass ends the
+            # run early (the recorded metrics are re-measured on the saved
+            # params, so early exit cannot overstate quality). Bars follow
+            # VERDICT r4 #3: novel-word WER is the round-5 target metric.
+            if out_dir and m["wer"] < 0.2 and m["novel_wer"] < 0.6:
                 full = final_metrics(model, params, cfg, seed)
                 logger.info("probe passed — full eval: %s", full)
-                if full["wer"] < 0.25 and full["novel_wer"] < 0.85:
+                if full["wer"] < 0.25 and full["novel_wer"] < min(
+                    best_novel, 0.6
+                ):
+                    best_novel = full["novel_wer"]
                     save_asr(params, cfg, out_dir, metrics=full, history=history)
                     logger.info("saved passing checkpoint @%d to %s", i + 1, out_dir)
-                    if full["wer"] < 0.1 and full["novel_wer"] < 0.7:
+                    if full["wer"] < 0.05 and full["novel_wer"] < 0.22:
                         logger.info("strong pass — stopping early @%d", i + 1)
                         break
     drain(0)
@@ -557,6 +571,16 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default="msa_tpu/checkpoints/whisper_asr")
     parser.add_argument("--eval-only", action="store_true")
+    parser.add_argument(
+        "--size", choices=("base", "large"), default="large",
+        help="architecture scale (round 5 ships 'large': 4+4/d384 — "
+        "novel-word spelling was capacity-short at 3+3/d256)",
+    )
+    parser.add_argument(
+        "--pseudo-frac", type=float, default=0.5,
+        help="fraction of words drawn as fresh pseudo-words (the phonetic-"
+        "compositionality training signal; 0.35 in round 4)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -582,6 +606,7 @@ def main(argv=None):
 
     model, params, history = train(
         steps=args.steps, batch=args.batch, lr=args.lr, seed=args.seed,
+        cfg=asr_config(args.size), pseudo_frac=args.pseudo_frac,
         out_dir=args.out,
     )
     cfg = model.cfg
@@ -590,8 +615,20 @@ def main(argv=None):
                 metrics["wer"], metrics["exact"])
     logger.info("eval (novel words): wer=%.4f exact=%.3f",
                 metrics["novel_wer"], metrics["novel_exact"])
-    save_asr(params, cfg, args.out, metrics=metrics, history=history)
-    logger.info("saved ASR assets + eval.json to %s", args.out)
+    # never overwrite a better probe-time save with a worse final state
+    prev = None
+    try:
+        prev = json.loads((Path(args.out) / "eval.json").read_text())
+    except (OSError, ValueError):
+        pass
+    if prev is None or metrics["novel_wer"] <= float(prev.get("novel_wer", 1e9)):
+        save_asr(params, cfg, args.out, metrics=metrics, history=history)
+        logger.info("saved ASR assets + eval.json to %s", args.out)
+    else:
+        logger.info(
+            "final novel_wer %.3f worse than saved %.3f — keeping probe save",
+            metrics["novel_wer"], float(prev.get("novel_wer", 1e9)),
+        )
     return 0
 
 

@@ -238,3 +238,28 @@ def test_pyannote_factory_degrades_to_neural():
         "pyannote/speaker-diarization", ProcessingConfig(), DiarizationConfig()
     )
     assert isinstance(d, (NeuralDiarizer, ClusteringDiarizer))
+
+
+def test_two_phase_diarize_matches_one_shot(trained_embedder, rng):
+    """segment_boundaries + label_segments == diarize (the offline processor
+    overlaps phase 2 with video decode; the split must not change output)."""
+    from msa_tpu.host.diarization import NeuralDiarizer
+    from msa_tpu.models.speaker import VoiceSpec, synth_voice
+
+    model, params, _ = trained_embedder
+    SR = 16000
+    gap = (0.0003 * rng.normal(size=int(0.8 * SR))).astype(np.float32)
+    voices = {
+        "A": VoiceSpec(f0=120, formants=(650, 1100, 2600)),
+        "B": VoiceSpec(f0=210, formants=(450, 1600, 2900)),
+    }
+    clips = []
+    for who in ["A", "B", "A", "B"]:
+        clips.append(synth_voice(rng, voices[who], 2.0, SR))
+        clips.append(gap)
+    x = np.concatenate(clips)
+
+    d = NeuralDiarizer(model, params, min_pause_duration=0.5, max_speakers=4)
+    want = d.diarize(x, SR)
+    got = d.label_segments(x, d.segment_boundaries(x, SR), SR)
+    assert got == want

@@ -43,7 +43,7 @@ def main():
         video = os.path.join(tmp, "bench_video.mp4")
         _make_synthetic_video(video, seconds)
         print("video written", flush=True)
-        proc = OfflineProcessor(config=cfg, models=models, batch_size=64)
+        proc = OfflineProcessor(config=cfg, models=models, batch_size=8)
         t0 = time.perf_counter()
         proc.process_video(video)
         print(f"warm pass {time.perf_counter() - t0:.1f}", flush=True)
