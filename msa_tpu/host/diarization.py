@@ -256,8 +256,13 @@ class NeuralDiarizer:
         self.threshold = threshold
         import jax
 
+        # params are an ARGUMENT, never a closure: a closed-over device
+        # array is embedded as an HLO constant at lowering, which FETCHES
+        # it from the device mid-lowering — doing that on a worker thread
+        # while the main thread drives the axon tunnel deadlocked the
+        # overlapped labeling path (round-5 watchdog stack dump)
         self._embed = jax.jit(
-            lambda w: self.model.embed_windows(self.params, w)
+            lambda p, w: self.model.embed_windows(p, w)
         )
 
     def _span_embeddings(
@@ -280,7 +285,7 @@ class NeuralDiarizer:
                 windows.append(clip[off : off + ws])
                 owners.append(i)
         batch = np.stack(windows).astype(np.float32)
-        embs = np.asarray(self._embed(batch))  # [n_windows, D]
+        embs = np.asarray(self._embed(self.params, batch))  # [n_windows, D]
         out = np.zeros((len(segments), embs.shape[1]), np.float32)
         counts = np.zeros(len(segments), np.int64)
         for e, i in zip(embs, owners):

@@ -127,11 +127,16 @@ _CLASS_PARAMS = {
 }
 
 
-def sample_expression(rng: np.random.Generator, class_idx: int) -> Expression:
+def sample_expression(
+    rng: np.random.Generator, class_idx: int, jitter_scale: float = 1.0
+) -> Expression:
     """Jittered per-class expression parameters (≈20% relative + small
-    absolute noise, so classes stay separable but not degenerate)."""
+    absolute noise, so classes stay separable but not degenerate).
+    ``jitter_scale`` widens every jitter sigma — the adversarial eval
+    protocol samples OUTSIDE the training parameter envelope so the
+    recorded metric can't saturate (VERDICT r4 #5)."""
     base = _CLASS_PARAMS[CLASS_NAMES[class_idx]]
-    j = lambda v, a: v + rng.normal(0.0, a)  # noqa: E731
+    j = lambda v, a: v + rng.normal(0.0, a * jitter_scale)  # noqa: E731
     return Expression(
         brow_raise=j(base.brow_raise, 0.004),
         brow_tilt=j(base.brow_tilt, 0.003),
@@ -221,6 +226,7 @@ def render_expression_batch(
     landmark_count: int = 478,
     scale_range: Tuple[float, float] = (0.55, 0.95),
     p_negative: float = 0.0,
+    jitter_scale: float = 1.0,
 ) -> ExpressionSample:
     """Expression-labeled procedural faces (full frames). ``p_negative`` adds
     face-less frames (label kept but present=0) for landmark-net reuse."""
@@ -251,7 +257,7 @@ def render_expression_batch(
             present[b] = 0.0
             continue
 
-        e = sample_expression(rng, int(labels[b]))
+        e = sample_expression(rng, int(labels[b]), jitter_scale=jitter_scale)
         tmpl_e = deform_template(template, e)
         scale = rng.uniform(*scale_range)
         theta = rng.uniform(-0.4, 0.4)
@@ -278,6 +284,7 @@ def render_crop_batch(
     frame_size: int = 96,
     crop_size: int = 48,
     template: Optional[np.ndarray] = None,
+    jitter_scale: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Training crops for the emotion CNN, produced the way the DEPLOYED
     graph produces them: render a frame, take the landmark bounding box
@@ -291,7 +298,8 @@ def render_crop_batch(
     from msa_tpu.ops import face_features as FF
 
     s = render_expression_batch(
-        rng, batch, frame_size, template=template, p_negative=0.0
+        rng, batch, frame_size, template=template, p_negative=0.0,
+        jitter_scale=jitter_scale,
     )
     gray = np.asarray(rgb_to_gray(jnp.asarray(s.frames)))
     boxes = np.stack(
@@ -305,3 +313,49 @@ def render_crop_batch(
     )
     crops = np.asarray(crop(jnp.asarray(gray), jnp.asarray(boxes)))
     return crops.astype(np.float32), s.labels
+
+
+def adversarial_crop_batch(
+    rng: np.random.Generator,
+    batch: int,
+    frame_size: int = 96,
+    crop_size: int = 48,
+    template: Optional[np.ndarray] = None,
+    jitter_scale: float = 2.0,
+    occlude_frac: Tuple[float, float] = (0.06, 0.18),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """OUT-OF-FAMILY eval crops for the emotion CNN (VERDICT r4 #5: the
+    in-family held-out accuracy saturated at 1.0, so the recorded metric
+    could not catch a partial regression). Three perturbations the training
+    distribution never contains:
+
+    - expression parameters sampled at ``jitter_scale``× the training
+      jitter sigma (attenuated/exaggerated expressions near class borders)
+    - a random occluding rectangle covering ``occlude_frac`` of the crop
+      area at a random gray level (hand/hair/sensor-dropout analog)
+    - lighting shifts: per-crop gamma in [0.5, 1.9] plus a lateral
+      illumination gradient up to ±35%
+
+    Labels remain the generating class, so accuracy measures robustness of
+    the decision, not reconstruction of clean pixels."""
+    crops, labels = render_crop_batch(
+        rng, batch, frame_size, crop_size, template, jitter_scale=jitter_scale
+    )
+    n = crops.shape[1]
+    for b in range(batch):
+        # occlusion rectangle
+        frac = rng.uniform(*occlude_frac)
+        w = max(2, int(n * np.sqrt(frac * rng.uniform(0.5, 2.0))))
+        h = max(2, min(n, int(n * n * frac / w)))
+        y0 = int(rng.integers(0, n - h + 1))
+        x0 = int(rng.integers(0, n - w + 1))
+        crops[b, y0 : y0 + h, x0 : x0 + w] = rng.uniform(0.0, 1.0)
+        # lighting: gamma + lateral gradient
+        gamma = rng.uniform(0.5, 1.9)
+        grad = 1.0 + rng.uniform(-0.35, 0.35) * (
+            np.linspace(-1, 1, n)[None, :, None]
+            if rng.uniform() < 0.5
+            else np.linspace(-1, 1, n)[:, None, None]
+        )
+        crops[b] = np.clip(np.clip(crops[b], 0, 1) ** gamma * grad, 0.0, 1.0)
+    return crops, labels

@@ -59,7 +59,9 @@ def test_shipped_speaker_embedder_separates_voices(rng):
     off_diag = ~np.eye(len(labels), dtype=bool)
     same = sim[(labels[:, None] == labels[None, :]) & off_diag]
     diff = sim[labels[:, None] != labels[None, :]]
-    assert same.mean() > diff.mean() + 0.2, (same.mean(), diff.mean())
+    # bar tightened to measured+margin (r4 recorded separation 0.92;
+    # VERDICT r4 #5: 10x-slack bars can't catch partial regressions)
+    assert same.mean() > diff.mean() + 0.5, (same.mean(), diff.mean())
 
 
 def test_shipped_landmark_net_localizes(rng):
@@ -91,7 +93,8 @@ def test_shipped_landmark_net_localizes(rng):
 
     mean_pred = tgt.mean(axis=0, keepdims=True)
     base = float(np.abs(mean_pred - tgt).mean())
-    assert err < base * 0.5, (err, base)
+    # measured ratio 0.038 (metrics.json) - bar within ~2.5x of measured
+    assert err < base * 0.1, (err, base)
 
 
 def test_neural_diarizer_active_with_shipped_checkpoint():
@@ -124,8 +127,46 @@ def test_shipped_face_emotion_cnn_classifies_expressions():
     model = FaceEmotionCNN(cfg)
     params = load_emotion_weights(model, path)
     m = evaluate(model, params, face_synth.make_template(478), n=128, seed=424242)
-    assert m["accuracy"] > 0.8, m
-    assert m["worst_class_recall"] > 0.4, m
+    # in-family accuracy saturates near 1.0 - keep a tight sanity bar
+    # here; the PRESSURE bar lives on the adversarial protocol below
+    assert m["accuracy"] > 0.9, m
+    assert m["worst_class_recall"] > 0.7, m
+
+
+def test_shipped_face_emotion_cnn_survives_adversarial_protocol():
+    """OUT-OF-FAMILY robustness (VERDICT r4 #5: the in-family metric
+    saturated at 1.0 and could not catch a partial regression): expressions
+    sampled at 2x the training jitter, occlusion rectangles, gamma and
+    lateral-lighting shifts. Shipped checkpoint measures ~0.63/0.33 —
+    bars sit within ~1.5-2x so a degraded retrain FAILS here."""
+    import jax
+
+    path = _asset("checkpoints/face_emotion_cnn.msgpack")
+    from msa_tpu.models.face import (
+        FaceEmotionCNN,
+        FaceModelConfig,
+        load_emotion_weights,
+    )
+    from msa_tpu.training import face_synth
+
+    cfg = FaceModelConfig()
+    model = FaceEmotionCNN(cfg)
+    params = load_emotion_weights(model, path)
+    rng = np.random.default_rng(424243)
+    crops, labels = face_synth.adversarial_crop_batch(
+        rng, 256, crop_size=cfg.crop_size, template=face_synth.make_template(478)
+    )
+    pred = np.asarray(
+        jax.jit(lambda p, c: model.apply({"params": p}, c))(params, crops)
+    ).argmax(-1)
+    acc = float((pred == labels).mean())
+    worst = min(
+        float((pred[labels == k] == k).mean())
+        for k in range(len(face_synth.CLASS_NAMES))
+        if (labels == k).any()
+    )
+    assert acc > 0.45, (acc, worst)
+    assert worst > 0.15, (acc, worst)
 
 
 def test_shipped_audio_emotion_head_separates_prosody():
@@ -154,8 +195,9 @@ def test_shipped_audio_emotion_head_separates_prosody():
     m = evaluate_head(model, params, head, waves, labels, batch=8)
     # shipped-asset training measured 0.71 held-out accuracy (worst-class
     # recall 0.56) on n=384; thresholds leave room for n=64 sampling noise
-    assert m["accuracy"] > 0.5, m
-    assert m["worst_class_recall"] > 0.25, m
+    # measured 0.766/0.65 (metrics.json) - bars within ~1.5x
+    assert m["accuracy"] > 0.55, m
+    assert m["worst_class_recall"] > 0.35, m
 
 
 def test_shipped_text_heads_classify_lexicon():
@@ -179,10 +221,11 @@ def test_shipped_text_heads_classify_lexicon():
     params = text_lib.init_params(model, 3)
     tok = WordPieceTokenizer(vocab_size=cfg.vocab_size)
     m = evaluate_heads(model, params, tok, load_heads(path), n=96, seed=9)
-    assert m["emotion_head"]["accuracy"] > 0.4, m  # chance 1/7
-    assert m["sentiment_head"]["accuracy"] > 0.5, m  # chance 1/3
-    assert m["sarcasm_head"]["accuracy"] > 0.6, m  # chance 1/2
-    assert m["humor_head"]["accuracy"] > 0.6, m
+    # bars at measured-margin (metrics.json r4: 0.78/0.93/0.99/0.97)
+    assert m["emotion_head"]["accuracy"] > 0.55, m  # chance 1/7
+    assert m["sentiment_head"]["accuracy"] > 0.7, m  # chance 1/3
+    assert m["sarcasm_head"]["accuracy"] > 0.85, m  # chance 1/2
+    assert m["humor_head"]["accuracy"] > 0.8, m
 
 
 def test_shipped_fusion_checkpoint_beats_random_init():
@@ -216,7 +259,8 @@ def test_shipped_fusion_checkpoint_beats_random_init():
     rand_kl, _ = fusion_lib.compute_loss(
         model, rand, face, audio, text, target
     )
-    assert float(trained_kl) < 0.8 * float(rand_kl), (
+    # measured ratio 0.33 (metrics.json) - bar within ~1.7x
+    assert float(trained_kl) < 0.55 * float(rand_kl), (
         float(trained_kl),
         float(rand_kl),
     )

@@ -6,11 +6,16 @@ host/device phase is attributable. Run: tools/e2e_profile.py [seconds]
 """
 
 import dataclasses
+import faulthandler
 import json
 import os
 import sys
 import tempfile
 import time
+
+# a silent >5 min stall is a hang, not a compile — dump every thread's
+# Python stack so the blocked call is attributable
+faulthandler.dump_traceback_later(300, repeat=True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

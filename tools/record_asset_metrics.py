@@ -70,7 +70,7 @@ def _speaker() -> dict:
         "diff_voice_cos": round(diff, 4),
         "separation": round(same - diff, 4),
         "protocol": "6 fresh voices x 4 windows, seed 987654",
-        "bar": {"separation": ">0.2"},
+        "bar": {"separation": ">0.5"},
     }
 
 
@@ -103,7 +103,7 @@ def _landmarks() -> dict:
         "mean_predictor_err": round(base, 5),
         "ratio": round(err / base, 4),
         "protocol": "32 rendered faces, seed 777",
-        "bar": {"ratio": "<0.5"},
+        "bar": {"ratio": "<0.1"},
     }
 
 
@@ -122,12 +122,38 @@ def _face_cnn() -> dict:
     params = load_emotion_weights(
         model, resolve_asset("checkpoints/face_emotion_cnn.msgpack")
     )
-    m = evaluate(model, params, face_synth.make_template(478), n=256, seed=424242)
+    tmpl = face_synth.make_template(478)
+    m = evaluate(model, params, tmpl, n=256, seed=424242)
+    # adversarial protocol (VERDICT r4 #5: the in-family number saturates
+    # at 1.0): 2x-jitter expressions + occlusion + lighting shifts
+    rng = np.random.default_rng(424243)
+    crops, labels = face_synth.adversarial_crop_batch(
+        rng, 256, crop_size=cfg.crop_size, template=tmpl
+    )
+    pred = np.asarray(
+        jax.jit(lambda p, c: model.apply({"params": p}, c))(params, crops)
+    ).argmax(-1)
+    adv_acc = float((pred == labels).mean())
+    adv_worst = min(
+        float((pred[labels == k] == k).mean())
+        for k in range(len(face_synth.CLASS_NAMES))
+        if (labels == k).any()
+    )
     return {
         "accuracy": round(float(m["accuracy"]), 4),
         "worst_class_recall": round(float(m["worst_class_recall"]), 4),
-        "protocol": "256 held-out procedural expressions, seed 424242",
-        "bar": {"accuracy": ">0.8", "worst_class_recall": ">0.4"},
+        "adversarial_accuracy": round(adv_acc, 4),
+        "adversarial_worst_class_recall": round(adv_worst, 4),
+        "protocol": (
+            "256 held-out procedural expressions, seed 424242; adversarial: "
+            "2x jitter + occlusion + lighting, seed 424243"
+        ),
+        "bar": {
+            "accuracy": ">0.9",
+            "worst_class_recall": ">0.7",
+            "adversarial_accuracy": ">0.45",
+            "adversarial_worst_class_recall": ">0.15",
+        },
     }
 
 
@@ -150,7 +176,7 @@ def _audio_head() -> dict:
         "accuracy": round(float(m["accuracy"]), 4),
         "worst_class_recall": round(float(m["worst_class_recall"]), 4),
         "protocol": "128 fresh voices+prosody, seed 515151",
-        "bar": {"accuracy": ">0.5", "worst_class_recall": ">0.25"},
+        "bar": {"accuracy": ">0.55", "worst_class_recall": ">0.35"},
     }
 
 
@@ -178,10 +204,10 @@ def _text_heads() -> dict:
     }
     out["protocol"] = "192 held-out word x template sentences, seed 9"
     out["bar"] = {
-        "emotion_head": ">0.4",
-        "sentiment_head": ">0.5",
-        "sarcasm_head": ">0.6",
-        "humor_head": ">0.6",
+        "emotion_head": ">0.55",
+        "sentiment_head": ">0.7",
+        "sarcasm_head": ">0.85",
+        "humor_head": ">0.8",
     }
     return out
 
@@ -212,7 +238,7 @@ def _fusion() -> dict:
         "random_init_kl": round(float(rkl), 4),
         "ratio": round(float(kl) / float(rkl), 4),
         "protocol": "tests/data/fusion_eval.json heldout split",
-        "bar": {"ratio": "<0.8"},
+        "bar": {"ratio": "<0.55"},
     }
 
 
