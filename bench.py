@@ -34,9 +34,12 @@ erased the whole round's record):
   ``process_video`` figure (auto-sized batch + the shipped ASR's whisper
   compiles, behind a permissive fixed gate — an overrun only costs later
   stages, never the record); only then the bucket-spectrum color.
-- A wall-clock budget (``MSA_BENCH_BUDGET_S``, default 420 s) gates each
+- A wall-clock budget (``MSA_BENCH_BUDGET_S``, default 660 s) gates each
   optional stage; stages that don't fit are skipped and listed in
   ``"skipped"``.
+- A repo-shipped compile-cache seed (``jit_cache_seed/``, built by
+  tools/make_cache_seed.py) is extracted on fingerprint match before the
+  mode choice — a matching driver host benches WARM in int8.
 - Cache warmth is a VALIDITY check, not an existence check (round-3
   postmortem: the driver host rejected every cached entry on machine-feature
   mismatch while bench saw a non-empty dir and picked the larger int8 kernel

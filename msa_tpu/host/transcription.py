@@ -77,8 +77,11 @@ class JaxWhisperTranscriber:
     """
 
     # fixed decode batch: segment lists pad up to this so batched offline
-    # transcription compiles ONE extra shape (B=_BATCH) beyond streaming's B=1
-    _BATCH = 16
+    # transcription compiles ONE extra shape (B=_BATCH) beyond streaming's
+    # B=1. Matches the offline processor's e2e batch (8): at 16 every
+    # 8-segment batch padded half its rows, doubling whisper device time
+    # (round-5 profile: transcribe 35 ms/batch on pure padding)
+    _BATCH = 8
 
     def __init__(self, cfg=None, params=None, tokenizer="auto", max_len: int = 64):
         import jax

@@ -259,7 +259,12 @@ class OfflineProcessor:
                 hi = min(lo + self.batch_size, n)
                 return video.frames_at(mid_times[lo:hi])
 
-            frames_future = decode_pool.submit(_decode, batch_ranges[0])
+            # EVERY batch's decode is queued upfront (they are independent
+            # sequential passes over ascending timestamps): the decode
+            # worker fills the core during the main thread's tunnel waits
+            # (whisper collect, dispatch round trips) instead of idling
+            # until the next batch's wait begins
+            decode_futures = [decode_pool.submit(_decode, lo) for lo in batch_ranges]
             video_padded = self._video_padded_batch(n)
 
             for bi, lo in enumerate(batch_ranges):
@@ -317,9 +322,7 @@ class OfflineProcessor:
                 # 3) frame-decode wait — whisper decode + audio upload are in
                 # flight while cv2 finishes
                 with self.timer.stage("decode_wait"):
-                    frames = frames_future.result()
-                if bi + 1 < len(batch_ranges):
-                    frames_future = decode_pool.submit(_decode, batch_ranges[bi + 1])
+                    frames = decode_futures[bi].result()
                 # preprocess frames BEFORE collecting transcripts: host
                 # resize/convert time gives the whisper decode a little more
                 # room to finish before its fetch blocks
