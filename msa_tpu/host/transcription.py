@@ -159,8 +159,10 @@ class JaxWhisperTranscriber:
     def _run_graph(self, waves_i16: "np.ndarray", count: int) -> "list[str]":
         """Dispatch the fused mel+decode graph and detokenize ``count`` rows
         from the single packed [B, max_len+1] fetch."""
+        from msa_tpu.utils.device_sync import fetch
+
         valid = np.arange(waves_i16.shape[0]) < count
-        packed = np.asarray(self._graph(self.params, waves_i16, valid))
+        packed = fetch(self._graph(self.params, waves_i16, valid))
         return self._detok(packed, count)
 
     def transcribe(self, waveform, sample_rate: int) -> str:
@@ -202,7 +204,9 @@ class JaxWhisperTranscriber:
                 out.extend([""] * count)
                 continue
             try:
-                out.extend(self._detok(np.asarray(packed_dev), count))
+                from msa_tpu.utils.device_sync import fetch
+
+                out.extend(self._detok(fetch(packed_dev), count))
             except Exception:
                 out.extend([""] * count)
         return out

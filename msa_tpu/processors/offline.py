@@ -425,7 +425,9 @@ class OfflineProcessor:
                 # fetch worker HERE so the round trip overlaps the next
                 # batch's host prep; the stage timer below records only the
                 # residual wait.
-                fut = fetch_pool.submit(jax.device_get, out["hostpack"])
+                from msa_tpu.utils.device_sync import fetch_tree
+
+                fut = fetch_pool.submit(fetch_tree, out["hostpack"])
                 pending.append((batch, transcripts, fut))
                 if on_progress:
                     on_progress(0.5 * min((lo + b) / n, 1.0))

@@ -412,8 +412,10 @@ class StreamingProcessor:
             # after — by then the embed (overlapped above) is usually done
             import jax
 
+            from msa_tpu.utils.device_sync import fetch_tree
+
             with self.timer.stage("fetch"):
-                cols = unpack_hostpack(jax.device_get(out["hostpack"]))
+                cols = unpack_hostpack(fetch_tree(out["hostpack"]))
             with self.timer.stage("speaker_wait"):
                 speaker_id = (
                     speaker_future.result()
