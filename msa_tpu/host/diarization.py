@@ -285,9 +285,12 @@ class NeuralDiarizer:
                 windows.append(clip[off : off + ws])
                 owners.append(i)
         batch = np.stack(windows).astype(np.float32)
-        from msa_tpu.utils.device_sync import fetch
+        from msa_tpu.utils.device_sync import device_call
 
-        embs = fetch(self._embed(self.params, batch))  # [n_windows, D]
+        # ONE lock hold across dispatch (may compile) + fetch
+        embs = device_call(
+            lambda: np.asarray(self._embed(self.params, batch))
+        )  # [n_windows, D]
         out = np.zeros((len(segments), embs.shape[1]), np.float32)
         counts = np.zeros(len(segments), np.int64)
         for e, i in zip(embs, owners):

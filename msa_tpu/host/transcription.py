@@ -159,10 +159,12 @@ class JaxWhisperTranscriber:
     def _run_graph(self, waves_i16: "np.ndarray", count: int) -> "list[str]":
         """Dispatch the fused mel+decode graph and detokenize ``count`` rows
         from the single packed [B, max_len+1] fetch."""
-        from msa_tpu.utils.device_sync import fetch
+        from msa_tpu.utils.device_sync import device_call
 
         valid = np.arange(waves_i16.shape[0]) < count
-        packed = fetch(self._graph(self.params, waves_i16, valid))
+        packed = device_call(
+            lambda: np.asarray(self._graph(self.params, waves_i16, valid))
+        )
         return self._detok(packed, count)
 
     def transcribe(self, waveform, sample_rate: int) -> str:
@@ -189,8 +191,13 @@ class JaxWhisperTranscriber:
                         waves, [(0, self._BATCH - len(chunk)), (0, 0)]
                     )
                 valid = np.arange(waves.shape[0]) < len(chunk)
+                from msa_tpu.utils.device_sync import device_call
+
                 handles.append(
-                    (self._graph(self.params, waves, valid), len(chunk))
+                    (
+                        device_call(self._graph, self.params, waves, valid),
+                        len(chunk),
+                    )
                 )
             except Exception:
                 handles.append((None, len(chunk)))

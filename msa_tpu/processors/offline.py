@@ -106,7 +106,9 @@ class OfflineProcessor:
             if self.config.pipeline.should_precompile():
                 # compile every token bucket up front (VERDICT r1 #5): after
                 # this, zero retraces — any batch hits a cached graph
-                with self.timer.stage("precompile"):
+                from msa_tpu.utils.device_sync import DEVICE_LOCK
+
+                with self.timer.stage("precompile"), DEVICE_LOCK:
                     self._pipeline.warmup(
                         # the current video's (possibly auto-shrunk) static
                         # batch — set by _process before requesting the
@@ -317,7 +319,9 @@ class OfflineProcessor:
                         pcm = np.pad(
                             pcm, [(0, video_padded - pcm.shape[0]), (0, 0)]
                         )
-                    audio_dev = jax.device_put(pcm)
+                    from msa_tpu.utils.device_sync import device_call
+
+                    audio_dev = device_call(jax.device_put, pcm)
 
                 # 3) frame-decode wait — whisper decode + audio upload are in
                 # flight while cv2 finishes
@@ -408,8 +412,10 @@ class OfflineProcessor:
                 inp_padded, real = pad_segment_inputs(
                     inp, n_data, to=video_padded
                 )
+                from msa_tpu.utils.device_sync import device_call
+
                 with self.timer.stage("dispatch"):
-                    out, _carry = pipeline.run_host(inp_padded)
+                    out, _carry = device_call(pipeline.run_host, inp_padded)
                 # The movement carry stays ON DEVICE: the next batch's dispatch
                 # chains on these values without a host round trip, so host prep
                 # of batch k+1 (decode/tokenize/windows) overlaps device compute

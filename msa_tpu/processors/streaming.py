@@ -259,13 +259,16 @@ class StreamingProcessor:
                     # compile the B=1 graph for EVERY token bucket up front,
                     # so the first live window carrying a transcript doesn't
                     # hit a multi-second compile mid-stream (VERDICT r1 #5)
+                    from msa_tpu.utils.device_sync import DEVICE_LOCK
+
                     t0 = time.perf_counter()
-                    n = self._pipeline.warmup(
-                        batch_sizes=(1,),
-                        token_buckets=(32, 128, 512),
-                        samples=self.config.pipeline.segment_samples,
-                        stream=self._use_packed,
-                    )
+                    with DEVICE_LOCK:
+                        n = self._pipeline.warmup(
+                            batch_sizes=(1,),
+                            token_buckets=(32, 128, 512),
+                            samples=self.config.pipeline.segment_samples,
+                            stream=self._use_packed,
+                        )
                     logger.info(
                         "precompiled %d graph shapes in %.1fs",
                         n,
@@ -375,9 +378,14 @@ class StreamingProcessor:
                         relevance,
                     )
                 try:
+                    from msa_tpu.utils.device_sync import device_call
+
                     with self.timer.stage("dispatch"):
-                        out, carry = pipeline.run_stream(
-                            packed, self._prev_landmarks, self._has_prev
+                        out, carry = device_call(
+                            pipeline.run_stream,
+                            packed,
+                            self._prev_landmarks,
+                            self._has_prev,
                         )
                 except Exception as e:  # pragma: no cover - backend-specific
                     logger.warning(
@@ -401,7 +409,9 @@ class StreamingProcessor:
                     inp.relevance[0] = relevance
                 inp.prev_landmarks = self._prev_landmarks
                 inp.has_prev = self._has_prev
-                out, carry = pipeline.run(inp)
+                from msa_tpu.utils.device_sync import device_call
+
+                out, carry = device_call(pipeline.run, inp)
             # the movement carry stays ON DEVICE: the next window's dispatch
             # chains on these values without a host round trip (the offline
             # path has worked this way since round 1)

@@ -1,17 +1,24 @@
-"""Serialized device fetches for multi-threaded host paths.
+"""Serialized device interaction for multi-threaded host paths.
 
-The axon tunnel client deadlocks when two host threads block inside
-``jax.Array._value`` (a device→host fetch) at the same time — observed
-twice in round 5's overlapped pipelines (faulthandler stack dumps: the
-diarizer label thread's embed fetch and the main thread's whisper fetch,
-both parked in ``_value`` forever). Dispatches (async enqueue) have never
-wedged; only concurrent BLOCKING fetches have.
+The axon tunnel client wedges PERMANENTLY (not merely serializes) when two
+host threads interact with the device at the same time in specific
+combinations, observed via faulthandler stack dumps in round 5:
 
-Every fetch that can run on a non-main thread (diarizer embed, whisper
-collect, the offline hostpack fetch worker) therefore serializes through
-:data:`FETCH_LOCK` via :func:`fetch`. Fetches still overlap with other
-threads' dispatches and host compute — only fetch-vs-fetch is serialized,
-which costs nothing: the tunnel processes one transfer at a time anyway.
+1. two threads blocking in ``jax.Array._value`` (device→host fetch)
+   concurrently;
+2. a worker-thread fetch issued while the main thread has a jit COMPILE
+   RPC in flight (the label thread's embed fetch during the whisper
+   B=8 cold compile never returned).
+
+Every device interaction reachable from more than one thread therefore
+serializes through :data:`DEVICE_LOCK` (an RLock): fetches hold it for
+their blocking duration; dispatches hold it for the enqueue (microseconds
+warm, the whole compile when cold — exactly what rule 2 requires).
+
+What still overlaps — and is the entire point of the threaded pipelines —
+is device work vs HOST compute: cv2 decode, VAD, tokenize, resize all run
+while another thread waits inside a fetch. The tunnel moves one transfer
+at a time anyway, so fetch-vs-fetch serialization costs nothing.
 """
 
 from __future__ import annotations
@@ -20,18 +27,24 @@ import threading
 
 import numpy as np
 
-FETCH_LOCK = threading.Lock()
+DEVICE_LOCK = threading.RLock()
 
 
 def fetch(arr) -> "np.ndarray":
-    """device array → host numpy under the process-wide fetch lock."""
-    with FETCH_LOCK:
+    """device array → host numpy under the process-wide device lock."""
+    with DEVICE_LOCK:
         return np.asarray(arr)
 
 
 def fetch_tree(tree):
-    """jax.device_get under the fetch lock (pytrees / single leaves)."""
+    """jax.device_get under the device lock (pytrees / single leaves)."""
     import jax
 
-    with FETCH_LOCK:
+    with DEVICE_LOCK:
         return jax.device_get(tree)
+
+
+def device_call(fn, *args, **kwargs):
+    """Run a dispatch/compile-capable callable under the device lock."""
+    with DEVICE_LOCK:
+        return fn(*args, **kwargs)
