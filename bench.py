@@ -419,10 +419,14 @@ def main() -> None:
     # stages after it, never the record itself.
     if _remaining() > 90.0:
         try:
+            # batch_size 8, NOT the headline's 64: a 60 s video is ~18 VAD
+            # segments — B=8 gives three pipelined batches (decode ∥ device
+            # ∥ fetch) instead of one monolithic dispatch with nothing to
+            # overlap; measured 72.6 vs 65.9 ×-realtime (BASELINE round 5)
             x_rt = _e2e_process_video(
                 models,
                 seconds=15.0 if tiny else 60.0,
-                batch_size=batch if tiny else 64,
+                batch_size=batch if tiny else 8,
             )
             _record["e2e_process_video_x_realtime"] = round(x_rt, 1)
             _emit()

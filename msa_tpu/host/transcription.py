@@ -105,6 +105,19 @@ class JaxWhisperTranscriber:
             # Separate mel/decode jits cost two dispatch round trips and a
             # two-leaf fetch per chunk. `valid` marks real rows so the
             # decode's early exit isn't stalled by padded silence rows.
+            # Input length adapts to the model window IN-TRACE (pad with
+            # silence / truncate — whisper's waveform-padding convention,
+            # see _pad_waveform) so dispatch_resident can feed the offline
+            # processor's segment-window batch directly.
+            from msa_tpu.models.whisper import window_samples
+
+            n = window_samples(self.cfg)
+            if waves_i16.shape[1] < n:
+                waves_i16 = jnp.pad(
+                    waves_i16, ((0, 0), (0, n - waves_i16.shape[1]))
+                )
+            elif waves_i16.shape[1] > n:
+                waves_i16 = waves_i16[:, :n]
             waves = waves_i16.astype(jnp.float32) / 32768.0
             mel = jax.vmap(self._mel_of_padded)(waves)
             tokens, lengths = self.model.apply(
@@ -202,6 +215,27 @@ class JaxWhisperTranscriber:
             except Exception:
                 handles.append((None, len(chunk)))
         return handles
+
+    def dispatch_resident(self, audio_dev, count: int) -> "list[tuple]":
+        """Dispatch the fused mel+decode graph on an ALREADY-UPLOADED
+        ``[B, samples]`` int16 device batch — the offline processor's
+        segment-audio upload IS the whisper input (same windows, same 32768
+        PCM scale), so batched offline ASR costs ZERO extra host prep and
+        ZERO extra upload bytes (round-5 profile: dispatch_batch's per-clip
+        pad/stack/convert + its duplicate upload of the same PCM measured
+        151 ms/video of main-thread work that starved the 1-core host's
+        decode thread). The graph adapts samples→window_samples in-trace.
+        Returns handles for :meth:`collect_batch` (one whole-batch entry —
+        one fetch round trip instead of ceil(B/_BATCH))."""
+        valid = np.arange(int(audio_dev.shape[0])) < count
+        from msa_tpu.utils.device_sync import device_call
+
+        try:
+            return [
+                (device_call(self._graph, self.params, audio_dev, valid), count)
+            ]
+        except Exception:
+            return [(None, count)]
 
     def collect_batch(self, handles) -> "list[str]":
         """Fetch + detokenize the results of :meth:`dispatch_batch`."""

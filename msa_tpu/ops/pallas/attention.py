@@ -774,10 +774,20 @@ def attention_block(
         # traffic) instead of inside the kernel, where it serialized 3 VPU
         # passes ahead of the first MXU dot (VERDICT r3 #8)
         xq, xs = quantize_rows(x.astype(jnp.float32))
+        from jax.experimental.pallas import tpu as pltpu
+
         out = pl.pallas_call(
             functools.partial(_attn_block_int8_kernel, scale=scale, num_heads=h),
             out_shape=jax.ShapeDtypeStruct((b, t_pad, dm), x.dtype),
             grid=(b,),
+            # the unrolled 12-head loop's live f32 intermediates (q/kt/p per
+            # head + the dequantized projections) exceed the compiler's
+            # default 16 MiB scoped-vmem budget at T=512/dm=768 (measured:
+            # 18.96 MiB requested → compile error on the round-5 backend).
+            # The hardware has far more VMEM; raise this kernel's cap.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
             in_specs=[in_specs[0], pl.BlockSpec((1, t_pad, 1), lambda bi: (bi, 0, 0))]
             + in_specs[1:]
             + [

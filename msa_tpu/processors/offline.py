@@ -277,13 +277,57 @@ class OfflineProcessor:
                 # the device/tunnel), so their device time hides under the
                 # cv2 decode wait; transcripts are collected after.
 
-                # 1) DISPATCH transcription (async): the whisper mel+decode
-                # graph starts on the device now; its results are fetched
-                # only after the frame-decode wait below (VERDICT r4 weak #1:
-                # this used to run serially while the decode thread idled)
-                asr_handles = None
-                clips: List = []
+                # 1) audio windows → ONE int16 upload (async) shared by the
+                # main pipeline AND whisper: ship as int16 PCM (the WAV's
+                # native precision): half the transfer, converted back on
+                # device. Padded to the video's static batch and device_put
+                # HERE — the upload (the largest host→device transfer,
+                # ~160 KB/segment) runs under the frame-decode wait below
+                audio_dev = None
                 if audio_avail:
+                    # native batched windower (C++ runtime): all segment windows
+                    # in one call instead of a Python slicing loop
+                    from msa_tpu.runtime import slice_windows
+
+                    with self.timer.stage("audio_window"):
+                        starts = np.asarray(
+                            [int(s["start"] * sr) for s in batch], np.int64
+                        )
+                        ends = np.asarray(
+                            [int(s["end"] * sr) for s in batch], np.int64
+                        )
+                        windows = slice_windows(waveform, starts, ends, samples)
+                        pcm = np.clip(windows * 32768.0, -32768, 32767).astype(
+                            np.int16
+                        )
+                        if pcm.shape[0] < video_padded:
+                            pcm = np.pad(
+                                pcm, [(0, video_padded - pcm.shape[0]), (0, 0)]
+                            )
+                        from msa_tpu.utils.device_sync import device_call
+
+                        audio_dev = device_call(jax.device_put, pcm)
+
+                # 2) DISPATCH transcription (async): the whisper mel+decode
+                # graph starts on the device now; its results are fetched
+                # only after the frame-decode wait below (VERDICT r4 weak
+                # #1: this used to run serially while the decode thread
+                # idled). The resident path feeds whisper the device array
+                # just uploaded — zero extra host bytes/prep — and its
+                # fetch+detok run in the fetch worker, so the tunnel round
+                # trip ALSO hides under the decode wait.
+                asr_handles = None
+                asr_fut = None
+                clips: List = []
+                if audio_avail and hasattr(self.transcriber, "dispatch_resident"):
+                    with self.timer.stage("transcribe_dispatch"):
+                        asr_handles = self.transcriber.dispatch_resident(
+                            audio_dev, b
+                        )
+                    asr_fut = fetch_pool.submit(
+                        self.transcriber.collect_batch, asr_handles
+                    )
+                elif audio_avail:
                     clips = [
                         waveform[int(s["start"] * sr) : int(s["end"] * sr)]
                         for s in batch
@@ -298,31 +342,6 @@ class OfflineProcessor:
                             logger.warning("ASR dispatch failed: %s", e)
                             asr_handles = None
 
-                # 2) audio upload (async): ship as int16 PCM (the WAV's
-                # native precision): half the transfer, converted back on
-                # device. Padded to the video's static batch and device_put
-                # HERE — the upload (the largest host→device transfer,
-                # ~160 KB/segment) runs under the frame-decode wait below
-                audio_dev = None
-                if audio_avail:
-                    # native batched windower (C++ runtime): all segment windows
-                    # in one call instead of a Python slicing loop
-                    from msa_tpu.runtime import slice_windows
-
-                    starts = np.asarray([int(s["start"] * sr) for s in batch], np.int64)
-                    ends = np.asarray([int(s["end"] * sr) for s in batch], np.int64)
-                    windows = slice_windows(waveform, starts, ends, samples)
-                    pcm = np.clip(windows * 32768.0, -32768, 32767).astype(
-                        np.int16
-                    )
-                    if pcm.shape[0] < video_padded:
-                        pcm = np.pad(
-                            pcm, [(0, video_padded - pcm.shape[0]), (0, 0)]
-                        )
-                    from msa_tpu.utils.device_sync import device_call
-
-                    audio_dev = device_call(jax.device_put, pcm)
-
                 # 3) frame-decode wait — whisper decode + audio upload are in
                 # flight while cv2 finishes
                 with self.timer.stage("decode_wait"):
@@ -333,10 +352,18 @@ class OfflineProcessor:
                 with self.timer.stage("frame_preprocess"):
                     pre_frames = [preprocess_frame(f, size) for f in frames]
 
-                # 4) collect transcripts (fetch) — or the sequential
-                # fallback for transcribers without the async API
+                # 4) collect transcripts — the resident path's fetch+detok
+                # already ran in the fetch worker under the decode wait;
+                # result() here is a residual join. Other paths fetch now.
                 transcripts: List[str] = []
-                if audio_avail and asr_handles is not None:
+                if asr_fut is not None:
+                    try:
+                        with self.timer.stage("transcribe"):
+                            transcripts = list(asr_fut.result())[:b]
+                    except Exception as e:
+                        logger.warning("batched transcription failed: %s", e)
+                        transcripts = [""] * b
+                elif audio_avail and asr_handles is not None:
                     try:
                         with self.timer.stage("transcribe"):
                             transcripts = list(

@@ -144,6 +144,38 @@ def test_transcribe_batch_matches_sequential(rng):
     assert len(batched) == 5
 
 
+def test_dispatch_resident_matches_transcribe_batch(rng):
+    """The zero-copy offline path (whisper consumes the processor's already
+    -uploaded [B, samples] int16 batch, round 5) must produce exactly the
+    transcribe_batch() results for BOTH window-adaptation directions:
+    segment windows shorter than the model window (in-trace silence pad)
+    and longer (in-trace truncate)."""
+    import jax
+
+    from msa_tpu.host.transcription import JaxWhisperTranscriber
+    from msa_tpu.models.whisper import window_samples
+
+    tr = JaxWhisperTranscriber(max_len=8)
+    win = window_samples(tr.cfg)
+    for samples in (win // 2, win + 320):
+        clips = [
+            (0.1 * rng.normal(size=samples)).astype("float32") for _ in range(3)
+        ]
+        # the processor's upload: int16 PCM windows padded to the batch
+        pcm = np.stack(
+            [
+                np.clip(c * 32768.0, -32768, 32767).astype(np.int16)
+                for c in clips
+            ]
+            + [np.zeros(samples, np.int16)]  # a padded dummy row
+        )
+        out = tr.collect_batch(
+            tr.dispatch_resident(jax.device_put(pcm), len(clips))
+        )
+        assert out == tr.transcribe_batch(clips, 16000)
+        assert len(out) == 3
+
+
 def test_offline_uses_batched_transcription(tmp_path, tiny_models, synthetic_video=None):
     """OfflineProcessor must route through transcribe_batch when the
     transcriber provides it (one call per batch, not one per segment)."""
