@@ -265,11 +265,11 @@ class NeuralDiarizer:
             lambda p, w: self.model.embed_windows(p, w)
         )
 
-    def _span_embeddings(
+    def _span_windows(
         self, waveform: np.ndarray, segments: List[Dict], sample_rate: int
-    ) -> np.ndarray:
-        """→ [n_spans, D] L2-normalized. Windows are sliced host-side into
-        one [n_windows, window_samples] batch, embedded in one device call."""
+    ) -> tuple:
+        """Host-side window slicing → ([n_windows, window_samples] f32,
+        owner span index per window)."""
         cfg = self.model.cfg
         ws = cfg.window_samples
         hop = ws // 2
@@ -284,21 +284,35 @@ class NeuralDiarizer:
             for off in range(0, max(len(clip) - ws, 0) + 1, hop):
                 windows.append(clip[off : off + ws])
                 owners.append(i)
-        batch = np.stack(windows).astype(np.float32)
-        from msa_tpu.utils.device_sync import device_call
+        return np.stack(windows).astype(np.float32), owners
 
-        # ONE lock hold across dispatch (may compile) + fetch
-        embs = device_call(
-            lambda: np.asarray(self._embed(self.params, batch))
-        )  # [n_windows, D]
-        out = np.zeros((len(segments), embs.shape[1]), np.float32)
-        counts = np.zeros(len(segments), np.int64)
+    @staticmethod
+    def _reduce_spans(
+        embs: np.ndarray, owners: List[int], n_spans: int
+    ) -> np.ndarray:
+        """Window embeddings → per-span mean, L2-normalized [n_spans, D]."""
+        out = np.zeros((n_spans, embs.shape[1]), np.float32)
+        counts = np.zeros(n_spans, np.int64)
         for e, i in zip(embs, owners):
             out[i] += e
             counts[i] += 1
         out /= np.maximum(counts[:, None], 1)
         out /= np.linalg.norm(out, axis=1, keepdims=True) + 1e-8
         return out
+
+    def _span_embeddings(
+        self, waveform: np.ndarray, segments: List[Dict], sample_rate: int
+    ) -> np.ndarray:
+        """→ [n_spans, D] L2-normalized. Windows are sliced host-side into
+        one [n_windows, window_samples] batch, embedded in one device call."""
+        batch, owners = self._span_windows(waveform, segments, sample_rate)
+        from msa_tpu.utils.device_sync import device_call
+
+        # ONE lock hold across dispatch (may compile) + fetch
+        embs = device_call(
+            lambda: np.asarray(self._embed(self.params, batch))
+        )  # [n_windows, D]
+        return self._reduce_spans(embs, owners, len(segments))
 
     @staticmethod
     def _agglomerate(
@@ -374,6 +388,39 @@ class NeuralDiarizer:
         for seg, lbl in zip(segments, labels):
             seg["speaker"] = f"SPEAKER_{int(lbl):02d}"
         return segments
+
+    def label_segments_async(
+        self, waveform: np.ndarray, segments: List[Dict], sample_rate: int
+    ):
+        """Phase 2 split for overlap: DISPATCH the embed graph on the
+        CALLING thread now, return a ``finalize()`` for a worker (fetch +
+        clustering + in-place label assignment, returns ``segments``).
+
+        This mirrors the offline processor's dispatch-in-main /
+        fetch-in-worker hostpack shape — the one device-interaction pattern
+        that has never wedged the axon tunnel. The previous overlap
+        (whole ``label_segments`` on a worker thread, dispatch AND fetch)
+        intermittently stalled ~5 min inside ``jax.Array._value`` with the
+        device idle (round-5 watchdog dump #4) — a worker-thread dispatch
+        appears to hit a tunnel connection-reuse pathology that a pure
+        fetch does not."""
+        if len(segments) < 2 or self.max_speakers <= 1:
+            return lambda: segments
+        batch, owners = self._span_windows(waveform, segments, sample_rate)
+        from msa_tpu.utils.device_sync import device_call, fetch
+
+        embs_dev = device_call(self._embed, self.params, batch)
+
+        def finalize() -> List[Dict]:
+            embs = self._reduce_spans(fetch(embs_dev), owners, len(segments))
+            labels = self._agglomerate(
+                embs, self.threshold, self.min_speakers, self.max_speakers
+            )
+            for seg, lbl in zip(segments, labels):
+                seg["speaker"] = f"SPEAKER_{int(lbl):02d}"
+            return segments
+
+        return finalize
 
     def diarize(self, waveform: np.ndarray, sample_rate: int) -> List[Dict]:
         return self.label_segments(

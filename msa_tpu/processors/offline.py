@@ -194,16 +194,31 @@ class OfflineProcessor:
                     # they are all the batch loop needs — speaker LABELING
                     # (device embed + clustering) runs concurrently with
                     # video decode and is joined before the results phase,
-                    # taking its round trip off the e2e critical path
+                    # taking its round trip off the e2e critical path.
+                    # The embed DISPATCH stays on this (main) thread; only
+                    # fetch + clustering go to the worker — a worker-thread
+                    # dispatch wedged the tunnel ~5 min intermittently
+                    # (label_segments_async docstring).
                     import concurrent.futures as _cf
 
                     with self.timer.stage("diarize"):
                         segments = self.diarizer.segment_boundaries(waveform, sr)
                     if segments:
+                        if hasattr(self.diarizer, "label_segments_async"):
+                            finalize = self.diarizer.label_segments_async(
+                                waveform, segments, sr
+                            )
+                        else:
+                            import functools
+
+                            finalize = functools.partial(
+                                self.diarizer.label_segments,
+                                waveform,
+                                segments,
+                                sr,
+                            )
                         label_pool = _cf.ThreadPoolExecutor(max_workers=1)
-                        label_future = label_pool.submit(
-                            self.diarizer.label_segments, waveform, segments, sr
-                        )
+                        label_future = label_pool.submit(finalize)
                         label_pool.shutdown(wait=False)
                 else:
                     with self.timer.stage("diarize"):
@@ -239,6 +254,9 @@ class OfflineProcessor:
             n = len(segments)
             seg_results: List[Dict] = []
             pending: List[tuple] = []  # (batch, transcripts, fetch future)
+            # previous batch's (batch, transcripts, device hostpack) whose
+            # fetch submission is deferred past the next dispatches (step 3)
+            deferred = None
             prev_landmarks = np.zeros(
                 (self.models.landmark.cfg.landmark_count, 3), np.float32
             )
@@ -342,7 +360,28 @@ class OfflineProcessor:
                             logger.warning("ASR dispatch failed: %s", e)
                             asr_handles = None
 
-                # 3) frame-decode wait — whisper decode + audio upload are in
+                # 3) NOW submit the PREVIOUS batch's hostpack fetch. It is
+                # consumed only in the results phase, so submission can wait
+                # until this batch's dispatches are all enqueued: submitting
+                # it at dispatch time made the NEXT batch's whisper dispatch
+                # wait out the fetch worker's DEVICE_LOCK hold (the fetch
+                # blocks until the previous main graph finishes computing —
+                # measured 55.8 ms/batch of transcribe_dispatch stall,
+                # round-5 profile). Here the worker's lock hold lands inside
+                # the decode wait below instead.
+                if deferred is not None:
+                    from msa_tpu.utils.device_sync import fetch_tree
+
+                    pending.append(
+                        (
+                            deferred[0],
+                            deferred[1],
+                            fetch_pool.submit(fetch_tree, deferred[2]),
+                        )
+                    )
+                    deferred = None
+
+                # 4) frame-decode wait — whisper decode + audio upload are in
                 # flight while cv2 finishes
                 with self.timer.stage("decode_wait"):
                     frames = decode_futures[bi].result()
@@ -352,7 +391,7 @@ class OfflineProcessor:
                 with self.timer.stage("frame_preprocess"):
                     pre_frames = [preprocess_frame(f, size) for f in frames]
 
-                # 4) collect transcripts — the resident path's fetch+detok
+                # 5) collect transcripts — the resident path's fetch+detok
                 # already ran in the fetch worker under the decode wait;
                 # result() here is a residual join. Other paths fetch now.
                 transcripts: List[str] = []
@@ -454,16 +493,24 @@ class OfflineProcessor:
                 # the host reads into out["hostpack"] (pipeline/graph.py
                 # _PACK_FIELDS) — an 8-leaf device_get measured 248 ms on
                 # the axon tunnel (~30 ms/leaf round trip) for ~56 KB of
-                # actual data; one leaf is ~30 ms total. Submitted to the
-                # fetch worker HERE so the round trip overlaps the next
-                # batch's host prep; the stage timer below records only the
-                # residual wait.
-                from msa_tpu.utils.device_sync import fetch_tree
-
-                fut = fetch_pool.submit(fetch_tree, out["hostpack"])
-                pending.append((batch, transcripts, fut))
+                # actual data; one leaf is ~30 ms total. Fetch submission is
+                # DEFERRED to after the next batch's dispatches (step 3) so
+                # the worker's DEVICE_LOCK hold never stalls them; the round
+                # trip still overlaps the next batch's decode wait.
+                deferred = (batch, transcripts, out["hostpack"])
                 if on_progress:
                     on_progress(0.5 * min((lo + b) / n, 1.0))
+            if deferred is not None:
+                from msa_tpu.utils.device_sync import fetch_tree
+
+                pending.append(
+                    (
+                        deferred[0],
+                        deferred[1],
+                        fetch_pool.submit(fetch_tree, deferred[2]),
+                    )
+                )
+                deferred = None
             decode_pool.shutdown(wait=True)
 
         # join the overlapped speaker labeling BEFORE results are read: the

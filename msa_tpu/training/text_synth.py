@@ -247,3 +247,43 @@ def sarcasm_sentences(rng, n, holdout=False):
 
 def humor_sentences(rng, n, holdout=False):
     return _marked_sentences(rng, n, HUMOR_MARKERS, holdout)
+
+
+# --- adversarial split (VERDICT r4 #5: de-saturate the shipped evals) --------
+
+_OOV_SYLLABLES: Tuple[str, ...] = (
+    "bra", "dul", "fen", "gor", "lim", "mok", "nas", "pir", "ruv", "sel",
+    "tam", "vex", "zon", "cal", "dri", "fos", "gan", "lup", "mer", "nix",
+)
+
+
+def oov_word(rng: np.random.Generator) -> str:
+    """A pseudo-word guaranteed OUT of every training lexicon: its hashed
+    WordPiece embedding (models/text.py hash mode) is semantic noise."""
+    k = int(rng.integers(2, 4))
+    return "".join(
+        _OOV_SYLLABLES[int(rng.integers(0, len(_OOV_SYLLABLES)))]
+        for _ in range(k)
+    )
+
+
+def with_oov_context(
+    rng: np.random.Generator, texts: List[str]
+) -> List[str]:
+    """Label-preserving hard mutation: wrap each sentence in 1–2 leading and
+    0–2 trailing OOV pseudo-word sentences. Every ORIGINAL token keeps its
+    exact surface form (the tokenizer is cased — mutating case would destroy
+    the markers' training-time identity), but the label-bearing words shift
+    position and the trunk must ignore unseen-token embeddings that carry
+    arbitrary hashed semantics. Real-orthography OOV noise is exactly what
+    field text contains and the in-family holdout never exercises
+    (VERDICT r4 missing #1 / #5)."""
+    out: List[str] = []
+    for s in texts:
+        pre = " ".join(oov_word(rng) for _ in range(int(rng.integers(1, 3))))
+        post = " ".join(oov_word(rng) for _ in range(int(rng.integers(0, 3))))
+        s2 = f"{pre.capitalize()}. {s}"
+        if post:
+            s2 = f"{s2} {post.capitalize()}."
+        out.append(s2)
+    return out

@@ -74,15 +74,26 @@ def cls_features(
 
 
 def evaluate_heads(
-    model, params, tokenizer, heads: Dict[str, Any], n: int = 256, seed: int = 1
+    model, params, tokenizer, heads: Dict[str, Any], n: int = 256, seed: int = 1,
+    adversarial: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     """Held-out metrics per task: fresh sentences from the RESERVED
     (word × template) grid cells — compositions never seen in training
-    (:func:`msa_tpu.training.text_synth._holdout_templates`)."""
+    (:func:`msa_tpu.training.text_synth._holdout_templates`).
+
+    ``adversarial=True`` additionally wraps every held-out sentence in OOV
+    pseudo-word context (text_synth.with_oov_context): same labels, same
+    surface tokens, but shifted positions + unseen-token noise — a protocol
+    whose number moves when robustness degrades, unlike the saturating
+    in-family holdout (VERDICT r4 #5)."""
+    from msa_tpu.training.text_synth import with_oov_context
+
     metrics: Dict[str, Dict[str, float]] = {}
     for name, gen, _ in TASKS:
         rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % 1000)
         texts, labels = gen(rng, n, holdout=True)
+        if adversarial:
+            texts = with_oov_context(rng, texts)
         feats = cls_features(model, params, tokenizer, texts)
         logits = feats @ heads[name]["kernel"] + heads[name]["bias"]
         pred = logits.argmax(axis=-1)
@@ -120,10 +131,21 @@ def train(
     if tokenizer is None:
         tokenizer = WordPieceTokenizer(vocab_size=cfg.vocab_size)
 
+    from msa_tpu.training.text_synth import with_oov_context
+
     heads: Dict[str, Any] = {}
     for name, gen, n_classes in TASKS:
         rng = np.random.default_rng(seed + 100 + zlib.crc32(name.encode()) % 1000)
         texts, labels = gen(rng, n_train)
+        # OOV-noise augmentation (round 5): ~30% of training sentences are
+        # wrapped in pseudo-word context so keyword detection learns to
+        # ignore unseen-token embeddings — field text contains words outside
+        # every lexicon, and the unaugmented heads measured 0.38–0.79 on the
+        # adversarial protocol vs 0.78–0.99 in-family (metrics.json)
+        noisy = rng.random(len(texts)) < 0.3
+        wrapped = with_oov_context(rng, [t for t, z in zip(texts, noisy) if z])
+        it = iter(wrapped)
+        texts = [next(it) if z else t for t, z in zip(texts, noisy)]
         feats = cls_features(model, params, tokenizer, texts)
         head0 = {
             "kernel": np.asarray(params[name]["kernel"], np.float32),

@@ -263,3 +263,14 @@ def test_two_phase_diarize_matches_one_shot(trained_embedder, rng):
     want = d.diarize(x, SR)
     got = d.label_segments(x, d.segment_boundaries(x, SR), SR)
     assert got == want
+
+    # dispatch-now/finalize-later split (round 5: the embed dispatch stays
+    # on the calling thread, fetch+clustering run in a worker) must also be
+    # output-identical — including when finalize runs on another thread
+    import concurrent.futures as cf
+
+    segs = d.segment_boundaries(x, SR)
+    finalize = d.label_segments_async(x, segs, SR)
+    with cf.ThreadPoolExecutor(max_workers=1) as pool:
+        got_async = pool.submit(finalize).result()
+    assert got_async == want
