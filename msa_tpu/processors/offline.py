@@ -217,9 +217,12 @@ class OfflineProcessor:
                                 segments,
                                 sr,
                             )
-                        label_pool = _cf.ThreadPoolExecutor(max_workers=1)
-                        label_future = label_pool.submit(finalize)
-                        label_pool.shutdown(wait=False)
+                        # the SHARED pre-warmed device-I/O worker, not a
+                        # fresh thread: a new thread's first tunnel contact
+                        # intermittently stalls ~5 min (fetch_executor)
+                        from msa_tpu.utils.device_sync import fetch_executor
+
+                        label_future = fetch_executor().submit(finalize)
                 else:
                     with self.timer.stage("diarize"):
                         segments = self.diarizer.diarize(waveform, sr)
@@ -268,11 +271,15 @@ class OfflineProcessor:
             import concurrent.futures
 
             decode_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-            # hostpack fetches run in their own worker: batch k's tunnel
-            # round trip + device wait overlaps host prep of batch k+1
-            # instead of serializing after the loop (the fetch phase was a
-            # pure +128 ms tail on the e2e protocol)
-            fetch_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            # hostpack fetches run in the process-wide pre-warmed device-I/O
+            # worker: batch k's tunnel round trip + device wait overlaps
+            # host prep of batch k+1 instead of serializing after the loop
+            # (the fetch phase was a pure +128 ms tail on the e2e protocol).
+            # Shared + pre-warmed because a fresh thread's first tunnel
+            # contact can stall ~5 min (device_sync.fetch_executor).
+            from msa_tpu.utils.device_sync import fetch_executor
+
+            fetch_pool = fetch_executor()
             batch_ranges = list(range(0, n, self.batch_size))
 
             def _decode(lo: int):
@@ -589,7 +596,14 @@ class OfflineProcessor:
                 if on_progress:
                     on_progress(0.5 + 0.5 * min(len(seg_results) / n, 1.0))
         finally:
-            fetch_pool.shutdown(wait=True)
+            # the shared device-I/O executor is NEVER shut down here; drain
+            # this video's outstanding fetches so no work leaks past return
+            for _, _, fut in pending:
+                if not fut.done():
+                    try:
+                        fut.result()
+                    except Exception:  # surfaced at the result() above
+                        pass
         return seg_results
 
 

@@ -226,12 +226,14 @@ class StreamingProcessor:
         # (VERDICT r4 weak #5: ~12.5 ms/window of host time was
         # unattributed); read via `timer.summary()` after a run
         self.timer = StageTimer()
-        # the speaker-match diarizer embed is its own device round trip; a
-        # single worker runs it CONCURRENTLY with the main graph's dispatch
-        # + fetch instead of serially before them
-        import concurrent.futures
+        # the speaker-match diarizer embed is its own device round trip; the
+        # process-wide pre-warmed device-I/O worker runs it CONCURRENTLY
+        # with the main graph's dispatch + fetch instead of serially before
+        # them (shared + warmed: a fresh thread's first tunnel contact can
+        # stall ~5 min — device_sync.fetch_executor)
+        from msa_tpu.utils.device_sync import fetch_executor
 
-        self._spk_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._spk_pool = fetch_executor()
         self._warmup_thread: Optional[threading.Thread] = None
         if self.config.pipeline.should_precompile():
             # start compiling NOW, at construction, in the background: the

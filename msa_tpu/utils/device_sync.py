@@ -48,3 +48,39 @@ def device_call(fn, *args, **kwargs):
     """Run a dispatch/compile-capable callable under the device lock."""
     with DEVICE_LOCK:
         return fn(*args, **kwargs)
+
+
+_FETCH_POOL = None
+_FETCH_POOL_GUARD = threading.Lock()
+
+
+def fetch_executor():
+    """The process-wide device-I/O worker: ONE long-lived thread, created
+    lazily and WARMED with a trivial round trip, through which every
+    worker-side fetch routes (offline hostpack fetches, whisper collects,
+    diarizer label finalize, streaming speaker match).
+
+    Rationale (watchdog dumps #4/#5, round 5): the FIRST tunnel contact
+    from a freshly created thread intermittently stalls ~5 minutes with the
+    device idle — a connection-setup pathology in the tunnel client (the
+    ~300 s resolution smells like a TCP-level timeout). Established
+    connections never exhibit it. Per-video/per-processor throwaway worker
+    threads made that a recurring roulette; one shared pre-warmed thread
+    pays the risk at most once, at startup, while the tunnel is quiet."""
+    global _FETCH_POOL
+    with _FETCH_POOL_GUARD:
+        if _FETCH_POOL is None:
+            import concurrent.futures
+
+            pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="msa-devio"
+            )
+            try:  # warm the worker's tunnel connection with a tiny fetch
+                import jax
+
+                x = device_call(jax.device_put, np.zeros(1, np.float32))
+                pool.submit(fetch, x).result(timeout=600)
+            except Exception:  # no device / cpu-only: the pool still works
+                pass
+            _FETCH_POOL = pool
+    return _FETCH_POOL
