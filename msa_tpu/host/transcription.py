@@ -228,12 +228,15 @@ class JaxWhisperTranscriber:
         Returns handles for :meth:`collect_batch` (one whole-batch entry —
         one fetch round trip instead of ceil(B/_BATCH))."""
         valid = np.arange(int(audio_dev.shape[0])) < count
-        from msa_tpu.utils.device_sync import device_call
+        from msa_tpu.utils.device_sync import copy_async, device_call
 
         try:
-            return [
-                (device_call(self._graph, self.params, audio_dev, valid), count)
-            ]
+            packed = device_call(self._graph, self.params, audio_dev, valid)
+            # non-blocking D2H: the packed tokens stream back while the host
+            # does other work (frame decode), so collect_batch's fetch is
+            # ~instant — overlap WITHOUT a worker thread (device_sync #3)
+            copy_async(packed)
+            return [(packed, count)]
         except Exception:
             return [(None, count)]
 

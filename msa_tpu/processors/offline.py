@@ -185,44 +185,35 @@ class OfflineProcessor:
             audio_avail = audio is not None
             waveform = audio[0] if audio_avail else np.zeros(0, np.float32)
 
-            label_future = None
+            label_finalize = None
             if audio_avail and len(waveform) > 0:
                 if hasattr(self.diarizer, "segment_boundaries") and hasattr(
                     self.diarizer, "label_segments"
                 ):
                     # two-phase diarization: boundaries (host VAD) now —
                     # they are all the batch loop needs — speaker LABELING
-                    # (device embed + clustering) runs concurrently with
-                    # video decode and is joined before the results phase,
-                    # taking its round trip off the e2e critical path.
-                    # The embed DISPATCH stays on this (main) thread; only
-                    # fetch + clustering go to the worker — a worker-thread
-                    # dispatch wedged the tunnel ~5 min intermittently
-                    # (label_segments_async docstring).
-                    import concurrent.futures as _cf
-
+                    # dispatches its device embed here (async, with a
+                    # non-blocking D2H copy) and finalizes (fast fetch +
+                    # clustering) before the results phase, taking its
+                    # round trip off the e2e critical path WITHOUT a worker
+                    # thread (device_sync: a fresh thread's first tunnel
+                    # contact can wedge ~5 min)
                     with self.timer.stage("diarize"):
                         segments = self.diarizer.segment_boundaries(waveform, sr)
                     if segments:
                         if hasattr(self.diarizer, "label_segments_async"):
-                            finalize = self.diarizer.label_segments_async(
+                            label_finalize = self.diarizer.label_segments_async(
                                 waveform, segments, sr
                             )
                         else:
                             import functools
 
-                            finalize = functools.partial(
+                            label_finalize = functools.partial(
                                 self.diarizer.label_segments,
                                 waveform,
                                 segments,
                                 sr,
                             )
-                        # the SHARED pre-warmed device-I/O worker, not a
-                        # fresh thread: a new thread's first tunnel contact
-                        # intermittently stalls ~5 min (fetch_executor)
-                        from msa_tpu.utils.device_sync import fetch_executor
-
-                        label_future = fetch_executor().submit(finalize)
                 else:
                     with self.timer.stage("diarize"):
                         segments = self.diarizer.diarize(waveform, sr)
@@ -271,15 +262,6 @@ class OfflineProcessor:
             import concurrent.futures
 
             decode_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-            # hostpack fetches run in the process-wide pre-warmed device-I/O
-            # worker: batch k's tunnel round trip + device wait overlaps
-            # host prep of batch k+1 instead of serializing after the loop
-            # (the fetch phase was a pure +128 ms tail on the e2e protocol).
-            # Shared + pre-warmed because a fresh thread's first tunnel
-            # contact can stall ~5 min (device_sync.fetch_executor).
-            from msa_tpu.utils.device_sync import fetch_executor
-
-            fetch_pool = fetch_executor()
             batch_ranges = list(range(0, n, self.batch_size))
 
             def _decode(lo: int):
@@ -338,20 +320,17 @@ class OfflineProcessor:
                 # only after the frame-decode wait below (VERDICT r4 weak
                 # #1: this used to run serially while the decode thread
                 # idled). The resident path feeds whisper the device array
-                # just uploaded — zero extra host bytes/prep — and its
-                # fetch+detok run in the fetch worker, so the tunnel round
-                # trip ALSO hides under the decode wait.
+                # just uploaded — zero extra host bytes/prep — and starts a
+                # non-blocking D2H copy of the result, so the tunnel round
+                # trip ALSO drains under the decode wait (no worker thread:
+                # device_sync wedge finding #3).
                 asr_handles = None
-                asr_fut = None
                 clips: List = []
                 if audio_avail and hasattr(self.transcriber, "dispatch_resident"):
                     with self.timer.stage("transcribe_dispatch"):
                         asr_handles = self.transcriber.dispatch_resident(
                             audio_dev, b
                         )
-                    asr_fut = fetch_pool.submit(
-                        self.transcriber.collect_batch, asr_handles
-                    )
                 elif audio_avail:
                     clips = [
                         waveform[int(s["start"] * sr) : int(s["end"] * sr)]
@@ -367,29 +346,9 @@ class OfflineProcessor:
                             logger.warning("ASR dispatch failed: %s", e)
                             asr_handles = None
 
-                # 3) NOW submit the PREVIOUS batch's hostpack fetch. It is
-                # consumed only in the results phase, so submission can wait
-                # until this batch's dispatches are all enqueued: submitting
-                # it at dispatch time made the NEXT batch's whisper dispatch
-                # wait out the fetch worker's DEVICE_LOCK hold (the fetch
-                # blocks until the previous main graph finishes computing —
-                # measured 55.8 ms/batch of transcribe_dispatch stall,
-                # round-5 profile). Here the worker's lock hold lands inside
-                # the decode wait below instead.
-                if deferred is not None:
-                    from msa_tpu.utils.device_sync import fetch_tree
-
-                    pending.append(
-                        (
-                            deferred[0],
-                            deferred[1],
-                            fetch_pool.submit(fetch_tree, deferred[2]),
-                        )
-                    )
-                    deferred = None
-
-                # 4) frame-decode wait — whisper decode + audio upload are in
-                # flight while cv2 finishes
+                # 3) frame-decode wait — whisper decode + audio upload are
+                # in flight while cv2 finishes; the whisper result's D2H
+                # copy (started at dispatch) drains here too
                 with self.timer.stage("decode_wait"):
                     frames = decode_futures[bi].result()
                 # preprocess frames BEFORE collecting transcripts: host
@@ -398,18 +357,11 @@ class OfflineProcessor:
                 with self.timer.stage("frame_preprocess"):
                     pre_frames = [preprocess_frame(f, size) for f in frames]
 
-                # 5) collect transcripts — the resident path's fetch+detok
-                # already ran in the fetch worker under the decode wait;
-                # result() here is a residual join. Other paths fetch now.
+                # 4) collect transcripts — the resident path's packed result
+                # streamed back during the decode wait (copy_async), so the
+                # fetch inside collect_batch is ~instant
                 transcripts: List[str] = []
-                if asr_fut is not None:
-                    try:
-                        with self.timer.stage("transcribe"):
-                            transcripts = list(asr_fut.result())[:b]
-                    except Exception as e:
-                        logger.warning("batched transcription failed: %s", e)
-                        transcripts = [""] * b
-                elif audio_avail and asr_handles is not None:
+                if audio_avail and asr_handles is not None:
                     try:
                         with self.timer.stage("transcribe"):
                             transcripts = list(
@@ -500,110 +452,94 @@ class OfflineProcessor:
                 # the host reads into out["hostpack"] (pipeline/graph.py
                 # _PACK_FIELDS) — an 8-leaf device_get measured 248 ms on
                 # the axon tunnel (~30 ms/leaf round trip) for ~56 KB of
-                # actual data; one leaf is ~30 ms total. Fetch submission is
-                # DEFERRED to after the next batch's dispatches (step 3) so
-                # the worker's DEVICE_LOCK hold never stalls them; the round
-                # trip still overlaps the next batch's decode wait.
-                deferred = (batch, transcripts, out["hostpack"])
+                # actual data; one leaf is ~30 ms total. A non-blocking D2H
+                # copy starts NOW; the results-phase fetch finds the bytes
+                # already on the host (device_sync.copy_async).
+                from msa_tpu.utils.device_sync import copy_async
+
+                copy_async(out["hostpack"])
+                pending.append((batch, transcripts, out["hostpack"]))
                 if on_progress:
                     on_progress(0.5 * min((lo + b) / n, 1.0))
-            if deferred is not None:
-                from msa_tpu.utils.device_sync import fetch_tree
-
-                pending.append(
-                    (
-                        deferred[0],
-                        deferred[1],
-                        fetch_pool.submit(fetch_tree, deferred[2]),
-                    )
-                )
-                deferred = None
             decode_pool.shutdown(wait=True)
 
-        # join the overlapped speaker labeling BEFORE results are read: the
-        # segment dicts' "speaker" fields are assigned in-place by phase 2
-        if label_future is not None:
+        # finalize the overlapped speaker labeling BEFORE results are read:
+        # the embed result streamed back via copy_async during the batch
+        # loop, so this is a fast fetch + clustering, in-place assignment
+        if label_finalize is not None:
             with self.timer.stage("diarize_label_wait"):
                 try:
-                    label_future.result()
+                    label_finalize()
                 except Exception as e:
                     # labels stay at the VAD placeholder — same degradation
                     # as a failing clustering pass
                     logger.warning("speaker labeling failed: %s", e)
 
-        # fetch phase: collect the overlapped fetches in dispatch order
-        try:
-            for batch, transcripts, fut in pending:
-                b = len(batch)
-                with self.timer.stage("fetch"):
-                    cols = unpack_hostpack(fut.result()[:b])
-                fused, f27 = cols["fused"], cols["face27"]
-                a31, t783 = cols["audio31"], cols["text783"]
-                fp, ap = cols["face_probs_raw"], cols["audio_probs_raw"]
-                tp, combo = cols["text_probs_raw"], cols["combo"][:, 0]
-                for i, seg in enumerate(batch):
-                    fused_vec = fused[i]
-                    if int(combo[i]) == 0:
-                        # nothing available at all (padded row or every modality
-                        # failed): 'neutro', matching the evaluator's unknown
-                        # default — argmax over a uniform vector would
-                        # deterministically claim PT_UI[0]='feliz'
-                        label = "neutro"
-                    elif int(combo[i]) in (0b100, 0b010, 0b001):
-                        # <2 modalities: fuse_combo passes the single modality's
-                        # post-LN slice through — its entries are NOT in the fused
-                        # head's taxonomy, so argmax-as-PT_UI would mislabel
-                        # (round-1 advisor finding). Label from the modality's
-                        # true probability vector instead, reordered into the
-                        # UI convention.
-                        single = {0b100: fp, 0b010: ap, 0b001: tp}[int(combo[i])]
-                        probs_pt = emotions.reorder_np(
-                            single[i], emotions.CANONICAL_TO_PT_UI
-                        )
-                        label = emotions.PT_UI[int(np.argmax(probs_pt))]
-                    else:
-                        # argmax label in the reference's UI convention
-                        # (examples/streaming_example.py:23-25)
-                        label = emotions.PT_UI[int(np.argmax(fused_vec))]
-                    seg_results.append(
-                        {
-                            # reference process_segment dict schema
-                            # (offline_processor.py:223-233)
-                            "start": seg["start"],
-                            "end": seg["end"],
-                            "speaker": seg["speaker"],
-                            "face_vec": f27[i].tolist(),
-                            "audio_vec": a31[i].tolist(),
-                            "text_vec": t783[i].tolist(),
-                            # true per-modality probability vectors (CANONICAL
-                            # order) — valid distributions for pseudo-labeling
-                            # (training/preprocess_ami.py), unlike the post-LN
-                            # slices in *_vec
-                            "face_probs": fp[i].tolist(),
-                            "audio_probs": ap[i].tolist(),
-                            "text_probs": tp[i].tolist(),
-                            "transcript": transcripts[i],
-                            "fused_vec": fused_vec.tolist(),
-                            "fused_emotion": label,
-                            # rebuild addition: the modality-availability bitmask
-                            # (face=4, audio=2, text=1) — lets consumers (e.g.
-                            # the evaluator's score-based AUC) know when
-                            # fused_vec is a raw single-modality slice rather
-                            # than fused-head logits
-                            "modalities": int(combo[i]),
-                        }
+        # fetch phase: collect the async-copied hostpacks in dispatch order
+        from msa_tpu.utils.device_sync import fetch
+
+        for batch, transcripts, hostpack_dev in pending:
+            b = len(batch)
+            with self.timer.stage("fetch"):
+                cols = unpack_hostpack(fetch(hostpack_dev)[:b])
+            fused, f27 = cols["fused"], cols["face27"]
+            a31, t783 = cols["audio31"], cols["text783"]
+            fp, ap = cols["face_probs_raw"], cols["audio_probs_raw"]
+            tp, combo = cols["text_probs_raw"], cols["combo"][:, 0]
+            for i, seg in enumerate(batch):
+                fused_vec = fused[i]
+                if int(combo[i]) == 0:
+                    # nothing available at all (padded row or every modality
+                    # failed): 'neutro', matching the evaluator's unknown
+                    # default — argmax over a uniform vector would
+                    # deterministically claim PT_UI[0]='feliz'
+                    label = "neutro"
+                elif int(combo[i]) in (0b100, 0b010, 0b001):
+                    # <2 modalities: fuse_combo passes the single modality's
+                    # post-LN slice through — its entries are NOT in the fused
+                    # head's taxonomy, so argmax-as-PT_UI would mislabel
+                    # (round-1 advisor finding). Label from the modality's
+                    # true probability vector instead, reordered into the
+                    # UI convention.
+                    single = {0b100: fp, 0b010: ap, 0b001: tp}[int(combo[i])]
+                    probs_pt = emotions.reorder_np(
+                        single[i], emotions.CANONICAL_TO_PT_UI
                     )
-                if on_progress:
-                    on_progress(0.5 + 0.5 * min(len(seg_results) / n, 1.0))
-        finally:
-            # the shared device-I/O executor is NEVER shut down here; drain
-            # this video's outstanding fetches so no work leaks past return
-            for _, _, fut in pending:
-                if not fut.done():
-                    try:
-                        fut.result()
-                    except Exception:  # surfaced at the result() above
-                        pass
+                    label = emotions.PT_UI[int(np.argmax(probs_pt))]
+                else:
+                    # argmax label in the reference's UI convention
+                    # (examples/streaming_example.py:23-25)
+                    label = emotions.PT_UI[int(np.argmax(fused_vec))]
+                seg_results.append(
+                    {
+                        # reference process_segment dict schema
+                        # (offline_processor.py:223-233)
+                        "start": seg["start"],
+                        "end": seg["end"],
+                        "speaker": seg["speaker"],
+                        "face_vec": f27[i].tolist(),
+                        "audio_vec": a31[i].tolist(),
+                        "text_vec": t783[i].tolist(),
+                        # true per-modality probability vectors (CANONICAL
+                        # order) — valid distributions for pseudo-labeling
+                        # (training/preprocess_ami.py), unlike the post-LN
+                        # slices in *_vec
+                        "face_probs": fp[i].tolist(),
+                        "audio_probs": ap[i].tolist(),
+                        "text_probs": tp[i].tolist(),
+                        "transcript": transcripts[i],
+                        "fused_vec": fused_vec.tolist(),
+                        "fused_emotion": label,
+                        # rebuild addition: the modality-availability bitmask
+                        # (face=4, audio=2, text=1) — lets consumers (e.g.
+                        # the evaluator's score-based AUC) know when
+                        # fused_vec is a raw single-modality slice rather
+                        # than fused-head logits
+                        "modalities": int(combo[i]),
+                    }
+                )
+            if on_progress:
+                on_progress(0.5 + 0.5 * min(len(seg_results) / n, 1.0))
         return seg_results
 
 

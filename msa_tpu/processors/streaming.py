@@ -226,14 +226,6 @@ class StreamingProcessor:
         # (VERDICT r4 weak #5: ~12.5 ms/window of host time was
         # unattributed); read via `timer.summary()` after a run
         self.timer = StageTimer()
-        # the speaker-match diarizer embed is its own device round trip; the
-        # process-wide pre-warmed device-I/O worker runs it CONCURRENTLY
-        # with the main graph's dispatch + fetch instead of serially before
-        # them (shared + warmed: a fresh thread's first tunnel contact can
-        # stall ~5 min — device_sync.fetch_executor)
-        from msa_tpu.utils.device_sync import fetch_executor
-
-        self._spk_pool = fetch_executor()
         self._warmup_thread: Optional[threading.Thread] = None
         if self.config.pipeline.should_precompile():
             # start compiling NOW, at construction, in the background: the
@@ -278,6 +270,33 @@ class StreamingProcessor:
                     )
             return self._pipeline
 
+    def _match_speaker_async(self, waveform: np.ndarray, sr: int):
+        """Overlapped speaker match: dispatch the diarizer's device embed
+        NOW (non-blocking D2H copy — diarize_async), return a finalize()
+        that applies the reference's match condition to the labeled turns.
+        Diarizers without the async API (host-only VAD/fixed-window) simply
+        run in full at finalize time — they have no device latency to hide."""
+        if hasattr(self.diarizer, "diarize_async"):
+            try:
+                fin = self.diarizer.diarize_async(waveform, sr)
+            except Exception as e:
+                logger.warning("diarization dispatch failed: %s", e)
+                return lambda: "unknown"
+
+            def finalize() -> str:
+                try:
+                    clip_len = len(waveform) / sr
+                    for seg in fin():
+                        if seg["start"] <= 0 and seg["end"] >= clip_len:
+                            return seg["speaker"]
+                    return "unknown"
+                except Exception as e:
+                    logger.warning("diarization failed: %s", e)
+                    return "unknown"
+
+            return finalize
+        return lambda: self._match_speaker(waveform, sr)
+
     def _match_speaker(self, waveform: np.ndarray, sr: int) -> str:
         """Reference speaker-match condition kept verbatim: the first
         diarized turn covering the whole clip, else "unknown"
@@ -313,14 +332,15 @@ class StreamingProcessor:
                 logger.error("audio conversion failed: %s", e)
                 return dict(EMPTY_STREAMING_OUTPUT)
 
-            # speaker match runs CONCURRENTLY with the window's main
-            # dispatch+fetch below (it is an independent device round trip;
-            # serializing it before the graph cost its full latency per
-            # window). Collected right before output assembly.
-            speaker_future = (
-                self._spk_pool.submit(self._match_speaker, waveform, sr)
-                if waveform.size
-                else None
+            # speaker match OVERLAPS the window's main dispatch+fetch below:
+            # its diarizer embed dispatches NOW with a non-blocking D2H copy
+            # (diarize_async), and the finalize right before output assembly
+            # finds the embeddings already on the host — same thread, no
+            # worker (a fresh thread's first tunnel contact can wedge ~5 min,
+            # device_sync wedge finding #3). Host-only diarizers (energy
+            # VAD) just run at the join — they never touch the device.
+            speaker_finalize = (
+                self._match_speaker_async(waveform, sr) if waveform.size else None
             )
 
             face_avail = len(video_frames) > 0
@@ -430,8 +450,8 @@ class StreamingProcessor:
                 cols = unpack_hostpack(fetch_tree(out["hostpack"]))
             with self.timer.stage("speaker_wait"):
                 speaker_id = (
-                    speaker_future.result()
-                    if speaker_future is not None
+                    speaker_finalize()
+                    if speaker_finalize is not None
                     else "unknown"
                 )
             with self.timer.stage("build_output"):

@@ -8,17 +8,20 @@ combinations, observed via faulthandler stack dumps in round 5:
    concurrently;
 2. a worker-thread fetch issued while the main thread has a jit COMPILE
    RPC in flight (the label thread's embed fetch during the whisper
-   B=8 cold compile never returned).
+   B=8 cold compile never returned);
+3. a freshly created thread's FIRST tunnel contact, even a 4-byte fetch
+   on a quiet tunnel with the lock held — intermittent ~5-minute stalls
+   (sometimes permanent) that look like a connection-setup/TCP-timeout
+   pathology. (1)/(2) are fixed by the lock; (3) is not fixable at the
+   locking level at all.
 
-Every device interaction reachable from more than one thread therefore
-serializes through :data:`DEVICE_LOCK` (an RLock): fetches hold it for
-their blocking duration; dispatches hold it for the enqueue (microseconds
-warm, the whole compile when cold — exactly what rule 2 requires).
-
-What still overlaps — and is the entire point of the threaded pipelines —
-is device work vs HOST compute: cv2 decode, VAD, tokenize, resize all run
-while another thread waits inside a fetch. The tunnel moves one transfer
-at a time anyway, so fetch-vs-fetch serialization costs nothing.
+Every device interaction reachable from more than one thread serializes
+through :data:`DEVICE_LOCK` (an RLock); but because of (3) the production
+processors keep ALL device interaction on ONE thread and get their
+overlap from :func:`copy_async` (non-blocking D2H started right after
+dispatch) instead of worker-thread fetches. Host work (cv2 decode, VAD,
+tokenize, resize) still runs in plain worker threads — they never touch
+the tunnel.
 """
 
 from __future__ import annotations
@@ -50,37 +53,27 @@ def device_call(fn, *args, **kwargs):
         return fn(*args, **kwargs)
 
 
-_FETCH_POOL = None
-_FETCH_POOL_GUARD = threading.Lock()
+def copy_async(tree) -> None:
+    """Start the device→host transfer of every array leaf WITHOUT blocking
+    (``jax.Array.copy_to_host_async``): the D2H copy is enqueued after the
+    producing computation in the device's in-order stream and streams back
+    while the host does other work; a later :func:`fetch` then returns in
+    ~0 ms instead of waiting out compute + tunnel transfer (measured: 382 ms
+    blocking asarray vs 0.2 ms after an async copy that had time to drain).
 
+    This is THE overlap primitive here. Worker-thread fetches are NOT: a
+    freshly created thread's first tunnel contact intermittently stalls
+    ~5 min (sometimes permanently) inside ``jax.Array._value`` with the
+    device idle — three watchdog dumps (round 5), including one where the
+    stalling fetch was a 4-byte warmup on an otherwise quiet tunnel. All
+    device interaction therefore stays on ONE thread (the caller's), and
+    concurrency comes from async copies, not threads."""
+    import jax
 
-def fetch_executor():
-    """The process-wide device-I/O worker: ONE long-lived thread, created
-    lazily and WARMED with a trivial round trip, through which every
-    worker-side fetch routes (offline hostpack fetches, whisper collects,
-    diarizer label finalize, streaming speaker match).
-
-    Rationale (watchdog dumps #4/#5, round 5): the FIRST tunnel contact
-    from a freshly created thread intermittently stalls ~5 minutes with the
-    device idle — a connection-setup pathology in the tunnel client (the
-    ~300 s resolution smells like a TCP-level timeout). Established
-    connections never exhibit it. Per-video/per-processor throwaway worker
-    threads made that a recurring roulette; one shared pre-warmed thread
-    pays the risk at most once, at startup, while the tunnel is quiet."""
-    global _FETCH_POOL
-    with _FETCH_POOL_GUARD:
-        if _FETCH_POOL is None:
-            import concurrent.futures
-
-            pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="msa-devio"
-            )
-            try:  # warm the worker's tunnel connection with a tiny fetch
-                import jax
-
-                x = device_call(jax.device_put, np.zeros(1, np.float32))
-                pool.submit(fetch, x).result(timeout=600)
-            except Exception:  # no device / cpu-only: the pool still works
-                pass
-            _FETCH_POOL = pool
-    return _FETCH_POOL
+    with DEVICE_LOCK:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if hasattr(leaf, "copy_to_host_async"):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:  # an optimization, never a requirement
+                    pass
