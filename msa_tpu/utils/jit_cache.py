@@ -73,7 +73,12 @@ def enable_persistent_cache(path: str | None = None) -> None:
         if jax.config.jax_compilation_cache_dir:  # someone configured one
             return
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # persist EVERYTHING: on the tunnel backend even a jit_multiply
+        # compile is a ~0.5 s server RPC, and a process's init path runs
+        # ~250 such eager-op compiles — ~2 min of every cold process spent
+        # below jax's default 0.5 s persistence threshold (measured via
+        # JAX_EXPLAIN_CACHE_MISSES, round 5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # cache is an optimization, never a requirement
         pass
