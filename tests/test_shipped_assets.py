@@ -355,7 +355,8 @@ def test_shipped_asr_transcribes_heldout_voices():
     eval_path = _asset("checkpoints/whisper_asr/eval.json")
     recorded = json.loads(open(eval_path).read())
     assert recorded["wer"] < SHIPPED_WER_BAR, recorded
-    assert recorded["novel_wer"] < 1.0, recorded  # generalization recorded
+    # recorded 0.486 — measured+margin, not the vacuous 1.0 (VERDICT r4 #3)
+    assert recorded["novel_wer"] < 0.55, recorded
 
     tr = make_transcriber("auto", scale="full")
     assert isinstance(tr, JaxWhisperTranscriber)
@@ -379,12 +380,15 @@ def test_shipped_asr_transcribes_heldout_voices():
         )
 
     wer, pairs = measured_wer(TRAIN_WORDS, 8, 777_001)
-    assert wer < 0.35, pairs
+    assert wer < 0.1, pairs  # measured 0.016 (eval.json) — bar at ~6x
     assert any(h for h in pairs[0])
     # novel words (outside the training vocabulary entirely): looser bar —
-    # phonetic compositionality, not memorization, carries these
+    # phonetic compositionality, not memorization, carries these. Measured
+    # 0.486 (eval.json novel_wer); bar at measured+margin so a *partial*
+    # regression trips it (VERDICT r4 weak #3: the old 0.9 bar was ~2x
+    # looser than measured and exerted no pressure)
     novel_wer, novel_pairs = measured_wer(NOVEL_WORDS, 8, 777_002)
-    assert novel_wer < 0.9, novel_pairs
+    assert novel_wer < 0.6, novel_pairs
 
 
 def test_shipped_metrics_recorded():
