@@ -425,14 +425,20 @@ def test_auto_transcriber_gates_on_recorded_eval(tmp_path):
     (round-3 regression: a WER-0.97 checkpoint auto-resolved by default)."""
     import json
 
-    from msa_tpu.host.transcription import _shipped_asr_passes_bar
+    from msa_tpu.host.transcription import SHIPPED_WER_BAR, _shipped_asr_passes_bar
 
     assert not _shipped_asr_passes_bar(tmp_path)  # no eval.json at all
     (tmp_path / "eval.json").write_text(json.dumps({"wer": 0.97}))
     assert not _shipped_asr_passes_bar(tmp_path)  # recorded quality fails
     (tmp_path / "eval.json").write_text(json.dumps({"exact": 1.0}))
     assert not _shipped_asr_passes_bar(tmp_path)  # malformed: no wer key
-    (tmp_path / "eval.json").write_text(json.dumps({"wer": 0.12}))
+    (tmp_path / "eval.json").write_text(
+        json.dumps({"wer": SHIPPED_WER_BAR + 0.01})
+    )
+    assert not _shipped_asr_passes_bar(tmp_path)  # just over the gate fails
+    (tmp_path / "eval.json").write_text(
+        json.dumps({"wer": SHIPPED_WER_BAR / 2})
+    )
     assert _shipped_asr_passes_bar(tmp_path)  # passing record serves
 
 
