@@ -439,14 +439,6 @@ class StreamingProcessor:
             # path has worked this way since round 1)
             self._prev_landmarks = carry[0]
             self._has_prev = carry[1]
-            # start the hostpack's D2H NOW: the transfer request queues
-            # behind the compute server-side and the bytes ship the moment
-            # it finishes — the blocking fetch below then skips its own
-            # request round trip (the fetch stage is ~88% of the window's
-            # p50, and most of that is tunnel latency)
-            from msa_tpu.utils.device_sync import copy_async
-
-            copy_async(out["hostpack"])
 
             # hostpack fetch FIRST (the main device wait), speaker wait
             # after — by then the embed (overlapped above) is usually done
